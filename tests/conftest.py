@@ -1,0 +1,79 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is exercised without TPUs by forcing 8 host platform devices
+(see SURVEY.md §4 "Implication for the new framework"). Must run before jax import.
+"""
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon already baked in, so the env var alone is too late —
+# force the platform through the live config as well.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def _install_timm_shim():
+    """The reference modules import `timm.models.layers` for trunc_normal_/
+    DropPath/to_2tuple; timm isn't installed, so provide a minimal shim backed by
+    torch so reference modules can be imported for golden-value comparisons."""
+    import types
+    try:
+        import timm  # noqa: F401
+        return
+    except ImportError:
+        pass
+    import torch
+    import torch.nn as nn
+
+    class DropPath(nn.Module):
+        def __init__(self, drop_prob=0.0):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            if self.drop_prob == 0.0 or not self.training:
+                return x
+            keep = 1.0 - self.drop_prob
+            shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+            mask = torch.bernoulli(torch.full(shape, keep, device=x.device))
+            return x / keep * mask
+
+    def to_2tuple(x):
+        return x if isinstance(x, tuple) else (x, x)
+
+    layers = types.ModuleType("timm.models.layers")
+    layers.trunc_normal_ = torch.nn.init.trunc_normal_
+    layers.DropPath = DropPath
+    layers.to_2tuple = to_2tuple
+    models = types.ModuleType("timm.models")
+    models.layers = layers
+    timm_mod = types.ModuleType("timm")
+    timm_mod.models = models
+    sys.modules["timm"] = timm_mod
+    sys.modules["timm.models"] = models
+    sys.modules["timm.models.layers"] = layers
+
+
+def reference_path():
+    """Put the reference repo on sys.path (with the timm shim) and return it.
+
+    Reference modules are imported only to compare numerical outputs against —
+    never to run in the framework itself.
+    """
+    _install_timm_shim()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    return REFERENCE_ROOT

@@ -1,0 +1,181 @@
+"""Golden tests: JAX losses vs torch / reference loss_opr implementations.
+
+Logits here are NHWC; torch wants NCHW — transposed at the boundary.
+"""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from tests.conftest import reference_path
+from rgbx_semantic_segmentation_tpu import losses
+
+B, H, W, C = 2, 17, 23, 9
+IGNORE = 255
+
+
+def _case(seed=0, num_classes=C):
+    rng = np.random.RandomState(seed)
+    logits = rng.randn(B, H, W, num_classes).astype(np.float32)
+    labels = rng.randint(0, num_classes, size=(B, H, W))
+    labels[rng.rand(B, H, W) < 0.15] = IGNORE
+    return logits, labels
+
+
+def _t(logits):  # NHWC -> torch NCHW
+    return torch.from_numpy(np.transpose(logits, (0, 3, 1, 2)))
+
+
+def test_cross_entropy_matches_torch():
+    logits, labels = _case(0)
+    ref = F.cross_entropy(_t(logits), torch.from_numpy(labels),
+                          ignore_index=IGNORE).item()
+    got = float(losses.cross_entropy_loss(logits, labels, IGNORE))
+    assert got == pytest.approx(ref, rel=1e-5)
+
+
+def test_cross_entropy_weighted_matches_torch():
+    logits, labels = _case(1)
+    w = np.linspace(0.5, 1.5, C).astype(np.float32)
+    ref = F.cross_entropy(_t(logits), torch.from_numpy(labels),
+                          weight=torch.from_numpy(w), ignore_index=IGNORE).item()
+    got = float(losses.cross_entropy_loss(logits, labels, IGNORE, weight=w))
+    assert got == pytest.approx(ref, rel=1e-5)
+
+
+def test_focal_loss_matches_reference():
+    reference_path()
+    from utils.loss_opr import FocalLoss
+    logits, labels = _case(2)
+    ref = FocalLoss(ignore_label=IGNORE, gamma=4.0, alpha=0.25)(
+        _t(logits), torch.from_numpy(labels)).item()
+    got = float(losses.focal_loss(logits, labels, IGNORE, gamma=4.0, alpha=0.25))
+    assert got == pytest.approx(ref, rel=1e-4)
+
+
+def test_focal_loss_2d_matches_reference():
+    reference_path()
+    from utils.loss_opr import FocalLoss2d
+    logits, labels = _case(3)
+    ref = FocalLoss2d(ignore_index=IGNORE)(_t(logits),
+                                           torch.from_numpy(labels)).item()
+    got = float(losses.focal_loss_2d(logits, labels, IGNORE))
+    assert got == pytest.approx(ref, rel=1e-4)
+
+
+def test_dice_loss_matches_reference():
+    reference_path()
+    from utils.loss_opr import DiceLoss
+    logits, labels = _case(4)
+    ref = DiceLoss(ignore_index=IGNORE)(_t(logits),
+                                        torch.from_numpy(labels)).item()
+    got = float(losses.dice_loss(logits, labels, IGNORE))
+    assert got == pytest.approx(ref, rel=1e-5)
+
+
+def test_dice_ce_loss_matches_reference():
+    reference_path()
+    from utils.loss_opr import DiceCELoss
+    logits, labels = _case(5)
+    ref = DiceCELoss(ignore_index=IGNORE)(_t(logits),
+                                          torch.from_numpy(labels)).item()
+    got = float(losses.dice_ce_loss(logits, labels, IGNORE))
+    assert got == pytest.approx(ref, rel=1e-5)
+
+
+def test_balance_loss_matches_reference():
+    reference_path()
+    from utils.loss_opr import BalanceLoss
+    logits, labels = _case(6)
+    # scale down so exp(exp) stays finite
+    logits = logits * 0.3
+    ref = BalanceLoss(ignore_index=IGNORE)(_t(logits),
+                                           torch.from_numpy(labels)).item()
+    got = float(losses.balance_loss(logits, labels, IGNORE))
+    assert got == pytest.approx(ref, rel=1e-4)
+
+
+def test_berhu_loss_matches_reference_formula():
+    # Reference berHuLoss (loss_opr.py:82-101) crashes on torch>=1.5
+    # (`1 - bool_tensor`); compare against a numpy transcription of its math.
+    rng = np.random.RandomState(7)
+    pred = rng.rand(B, H, W).astype(np.float32) * 5
+    target = rng.rand(B, H, W).astype(np.float32) * 5
+    target[rng.rand(B, H, W) < 0.1] = 0  # ignore_index=0
+    valid = (target != 0).astype(np.float32)
+    vd = np.abs(pred - target) * valid
+    d = 0.2 * vd.max()
+    f_mask = (target <= d).astype(np.float32) * valid
+    s_mask = (1 - f_mask) * valid
+    ref = np.mean(vd * f_mask + (vd ** 2 + d ** 2) / (2 * d) * s_mask)
+    got = float(losses.berhu_loss(pred, target))
+    assert got == pytest.approx(float(ref), rel=1e-4)
+
+
+def test_rce_loss_value():
+    # Reference RCELoss calls .cuda() so can't run on CPU; check the analytic
+    # value instead: loss2 per valid misclassified pixel is -log(1e-9).
+    logits, labels = _case(8)
+    got = float(losses.rce_loss(logits, labels, IGNORE, beta=0.01))
+    ce = float(losses.cross_entropy_loss(logits, labels, IGNORE))
+    valid = labels != IGNORE
+    mis = (np.argmax(logits, -1) != labels) & valid
+    expected2 = (-np.log(1e-9)) * mis.sum() / labels.size
+    assert got == pytest.approx(ce + 0.01 * expected2, rel=1e-3)
+
+
+def test_ohem_keeps_hard_pixels():
+    logits, labels = _case(9)
+    full = float(losses.cross_entropy_loss(logits, labels, IGNORE))
+    ohem = float(losses.prob_ohem_cross_entropy(logits, labels, IGNORE,
+                                                thresh=0.6, min_kept=50))
+    # OHEM mean over hard pixels must be >= plain mean CE.
+    assert ohem >= full
+
+
+def test_ohem_small_valid_falls_back():
+    logits, labels = _case(10)
+    labels_all_ignore = np.full_like(labels, IGNORE)
+    labels_all_ignore[0, 0, 0] = 1
+    out = float(losses.prob_ohem_cross_entropy(logits, labels_all_ignore, IGNORE,
+                                               min_kept=256))
+    ce = float(losses.cross_entropy_loss(logits, labels_all_ignore, IGNORE))
+    assert out == pytest.approx(ce, rel=1e-5)
+
+
+def test_mask2former_loss_runs_and_is_finite():
+    rng = np.random.RandomState(11)
+    Q, ncls = 16, 5
+    pred_logits = rng.randn(B, Q, ncls + 1).astype(np.float32)
+    pred_masks = rng.randn(B, Q, H, W).astype(np.float32)
+    labels = rng.randint(0, ncls, size=(B, H, W))
+    labels[rng.rand(B, H, W) < 0.1] = IGNORE
+    out = float(losses.mask2former_loss(pred_logits, pred_masks, labels, ncls,
+                                        IGNORE))
+    assert np.isfinite(out) and out > 0
+
+
+def test_topology_loss_boundary_and_connectivity():
+    rng = np.random.RandomState(12)
+    ncls = 4
+    logits = rng.randn(1, 32, 32, ncls).astype(np.float32)
+    labels = rng.randint(0, ncls, size=(1, 32, 32))
+    out = float(losses.topology_aware_loss(logits, labels, IGNORE))
+    out_b = float(losses.topology_aware_loss(logits, labels, IGNORE,
+                                             with_connectivity=False))
+    assert np.isfinite(out) and np.isfinite(out_b)
+    assert out >= out_b  # connectivity term is non-negative
+
+
+def test_perfect_prediction_near_zero_ce():
+    labels = np.tile(np.arange(C), (B, H, W // C + 1))[:, :, :W]
+    logits = np.eye(C, dtype=np.float32)[labels] * 50.0
+    assert float(losses.cross_entropy_loss(logits, labels, IGNORE)) < 1e-5
+
+
+def test_build_criterion():
+    from rgbx_semantic_segmentation_tpu.config import mfnet_config
+    cfg = mfnet_config()
+    fn = losses.build_criterion(cfg)
+    logits, labels = _case(13)
+    assert np.isfinite(float(fn(logits, labels)))
