@@ -1,0 +1,163 @@
+"""PyTorch state_dict -> Flax variables converter.
+
+Because every module in this framework names its submodules after the reference's
+torch attribute paths (sequential indices fused: `mlp.0` -> `mlp_0`), a single
+generic key/layout transform converts any reference checkpoint:
+
+  - Linear weight (out, in)        -> kernel (in, out)
+  - Conv2d weight (O, I/g, kh, kw) -> kernel (kh, kw, I/g, O)   [OIHW -> HWIO]
+  - LayerNorm/BatchNorm weight     -> scale
+  - BatchNorm running_mean/var     -> batch_stats mean/var
+  - bare nn.Parameter scalars      -> same-named leaf
+
+This replaces the reference's `load_dualpath_model` (dual_segformer.py:449-480):
+`duplicate_dual_path` performs the same single-tower -> dual-tower key rewriting
+(patch_embed -> extra_patch_embed etc.), and `merge_variables` gives
+load_state_dict(strict=False) semantics (FRM/FFM stay at init).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import numpy as np
+
+FlaxVariables = Dict[str, Any]
+
+_BN_STATS = {"running_mean": "mean", "running_var": "var"}
+
+
+def torch_key_to_path(key: str) -> Tuple[str, ...]:
+    """'block1.0.attn.q.weight' -> ('block1_0', 'attn', 'q', 'weight')."""
+    parts = key.split(".")
+    merged = []
+    for p in parts:
+        if p.isdigit() and merged:
+            merged[-1] = f"{merged[-1]}_{p}"
+        else:
+            merged.append(p)
+    return tuple(merged)
+
+
+def _convert_leaf(name: str, value: np.ndarray):
+    """Returns (collection, new_name, new_value) or None to skip."""
+    if name == "num_batches_tracked":
+        return None
+    if name in _BN_STATS:
+        return "batch_stats", _BN_STATS[name], value
+    if name == "weight":
+        if value.ndim == 4:  # conv OIHW -> HWIO
+            return "params", "kernel", value.transpose(2, 3, 1, 0)
+        if value.ndim == 2:  # linear (out, in) -> (in, out)
+            return "params", "kernel", value.T
+        if value.ndim == 1:  # norm scale
+            return "params", "scale", value
+        raise ValueError(f"unhandled weight ndim {value.ndim}")
+    if name == "bias":
+        return "params", "bias", value
+    # bare nn.Parameter leaves (e.g. IFRM lambda_channel, net_utils.py:162-163)
+    return "params", name, value
+
+
+def _insert(tree: dict, path: Tuple[str, ...], value) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def torch_to_flax_variables(state_dict: Mapping[str, Any]) -> FlaxVariables:
+    """Convert a flat torch state_dict (tensors or numpy arrays) to nested flax
+    variable collections {'params': ..., 'batch_stats': ...}."""
+    out: FlaxVariables = {"params": {}, "batch_stats": {}}
+    for key, val in state_dict.items():
+        arr = np.asarray(getattr(val, "detach", lambda: val)().cpu().numpy()
+                         if hasattr(val, "detach") else val)
+        path = torch_key_to_path(key)
+        leaf = _convert_leaf(path[-1], arr)
+        if leaf is None:
+            continue
+        collection, new_name, new_val = leaf
+        _insert(out[collection], path[:-1] + (new_name,), new_val)
+    if not out["batch_stats"]:
+        del out["batch_stats"]
+    return out
+
+
+def duplicate_dual_path(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Single-tower SegFormer checkpoint -> dual-tower key space, replicating
+    reference `load_dualpath_model` (dual_segformer.py:460-470): every
+    patch_embed/block/norm entry is duplicated under the extra_* prefix."""
+    out: Dict[str, Any] = {}
+    for k, v in state_dict.items():
+        if "patch_embed" in k:
+            out[k] = v
+            out[k.replace("patch_embed", "extra_patch_embed")] = v
+        elif "block" in k:
+            out[k] = v
+            out[k.replace("block", "extra_block")] = v
+        elif "norm" in k:
+            out[k] = v
+            out[k.replace("norm", "extra_norm")] = v
+        else:
+            out[k] = v
+    return out
+
+
+def merge_variables(init_vars: FlaxVariables, loaded: FlaxVariables,
+                    strict: bool = False) -> FlaxVariables:
+    """Overlay loaded variables onto an init tree: load_state_dict(strict=False)
+    semantics — keys present in both are replaced (with shape check), keys only
+    in init stay at init, keys only in `loaded` are reported/raised."""
+    import jax
+
+    def _merge(init_node, loaded_node, path):
+        if not isinstance(loaded_node, dict):
+            init_arr = init_node
+            if hasattr(init_arr, "shape") and tuple(init_arr.shape) != tuple(
+                    np.shape(loaded_node)):
+                raise ValueError(
+                    f"shape mismatch at {'/'.join(path)}: "
+                    f"init {init_arr.shape} vs loaded {np.shape(loaded_node)}")
+            return jax.numpy.asarray(loaded_node, dtype=init_arr.dtype)
+        out = dict(init_node)
+        for k, v in loaded_node.items():
+            if k not in init_node:
+                if strict:
+                    raise KeyError(f"unexpected key {'/'.join(path + (k,))}")
+                continue
+            out[k] = _merge(init_node[k], v, path + (k,))
+        return out
+
+    merged = dict(init_vars)
+    for coll, tree in loaded.items():
+        if coll in init_vars:
+            merged[coll] = _merge(init_vars[coll], tree, (coll,))
+        elif strict:
+            raise KeyError(f"unexpected collection {coll}")
+    return merged
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Read a .pth checkpoint into numpy without CUDA (reference loads with
+    map_location='cpu', dual_segformer.py:453)."""
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(raw, dict) and "model" in raw:
+        raw = raw["model"]
+    if isinstance(raw, dict) and "state_dict" in raw:
+        raw = raw["state_dict"]
+    return {k: v.detach().cpu().numpy() for k, v in raw.items()}
+
+
+def load_dualpath_pretrained(path: str, init_vars: FlaxVariables,
+                             backbone_scope: str = "backbone") -> FlaxVariables:
+    """Full pretrained-backbone load pipeline:
+    .pth -> dual-path duplication -> flax layout -> merge under the backbone scope.
+    """
+    sd = duplicate_dual_path(load_torch_checkpoint(path))
+    flax_vars = torch_to_flax_variables(sd)
+    scoped = {
+        coll: {backbone_scope: tree} for coll, tree in flax_vars.items()
+    }
+    return merge_variables(init_vars, scoped)
