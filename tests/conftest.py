@@ -67,6 +67,30 @@ def _install_timm_shim():
     sys.modules["timm.models.layers"] = layers
 
 
+def _install_easydict_shim():
+    """reference config.py imports easydict; provide the trivial attr-dict."""
+    import types
+    try:
+        import easydict  # noqa: F401
+        return
+    except ImportError:
+        pass
+
+    class EasyDict(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:
+                raise AttributeError(k) from e
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
+    mod = types.ModuleType("easydict")
+    mod.EasyDict = EasyDict
+    sys.modules["easydict"] = mod
+
+
 def reference_path():
     """Put the reference repo on sys.path (with the timm shim) and return it.
 
@@ -74,6 +98,7 @@ def reference_path():
     never to run in the framework itself.
     """
     _install_timm_shim()
+    _install_easydict_shim()
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     return REFERENCE_ROOT
