@@ -1,0 +1,80 @@
+"""Orbax checkpointing: save/restore {params, batch_stats, opt_state, step}.
+
+Parity target: reference engine/engine.py:84-150 — `epoch-N.pth` snapshots plus
+an `epoch-last.pth` symlink, rank-0 only, and restore that resumes at epoch+1.
+Orbax handles the atomic-write/symlink concerns natively (no `os.system('rm -rf')`
+races like reference pyt_utils.py:232-245).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _abs(path: str) -> str:
+    return os.path.abspath(os.path.expanduser(path))
+
+
+class CheckpointManager:
+    """Epoch-keyed checkpoint manager (save cadence applied by the caller, like
+    reference train.py:310-318)."""
+
+    def __init__(self, directory: str, max_to_keep: Optional[int] = None):
+        self.directory = _abs(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, create=True)
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, epoch: int, state, extra: Optional[dict] = None) -> None:
+        """Persist model/optimizer state at an epoch boundary (reference
+        engine.py:84-126 save_checkpoint)."""
+        payload = {
+            "params": state.params,
+            "batch_stats": state.batch_stats if state.batch_stats else {},
+            "opt_state": state.opt_state,
+            "step": np.asarray(state.step),
+            "epoch": np.asarray(epoch),
+        }
+        if extra:
+            payload["extra"] = extra
+        self._mgr.save(epoch, args=ocp.args.StandardSave(payload))
+        self._mgr.wait_until_finished()
+
+    def latest_epoch(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def all_epochs(self):
+        return sorted(self._mgr.all_steps())
+
+    def restore(self, state, epoch: Optional[int] = None):
+        """Restore into an existing TrainState template; returns
+        (state, next_epoch) — resuming at saved epoch + 1 like reference
+        engine.py:143."""
+        if epoch is None:
+            epoch = self.latest_epoch()
+        if epoch is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        template = {
+            "params": state.params,
+            "batch_stats": state.batch_stats if state.batch_stats else {},
+            "opt_state": state.opt_state,
+            "step": np.asarray(state.step),
+            "epoch": np.asarray(0),
+        }
+        restored = self._mgr.restore(
+            epoch, args=ocp.args.StandardRestore(template))
+        new_state = state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=jax.numpy.asarray(restored["step"]),
+        )
+        return new_state, int(restored["epoch"]) + 1
+
+    def close(self):
+        self._mgr.close()

@@ -183,8 +183,11 @@ class RGBXTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x_rgb, x_e, train: bool = False):
+        import numpy as np
         total_depth = sum(self.depths)
-        dpr = [float(x) for x in jnp.linspace(0, self.drop_path_rate, total_depth)]
+        # Static python floats: the stochastic-depth schedule is a compile-time
+        # constant (reference torch.linspace, dual_segformer.py:249).
+        dpr = [float(x) for x in np.linspace(0, self.drop_path_rate, total_depth)]
         frm_cls = fusion.get_frm(self.frm)
         ffm_cls = fusion.get_ffm(self.ffm)
         patch_cfg = [(7, 4), (3, 2), (3, 2), (3, 2)]  # (kernel, stride) per stage

@@ -1,0 +1,54 @@
+"""Optimizer construction.
+
+Parity targets: reference train.py:112-135 (AdamW betas .9/.999 wd .01 | SGD+
+momentum | LBFGS) and utils/init_func.py:33-58 `group_weight`: weight decay is
+applied only to Linear/Conv kernels; biases, all norm parameters, and bare scalar
+parameters (IFRM lambdas) are decay-exempt.
+
+The scheduled LR lives inside the optax chain (scale_by_schedule), so the whole
+update — including the WarmUpPolyLR evaluation — compiles into the jitted train
+step instead of the reference's per-iteration host poke into param groups
+(train.py:203-207).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from rgbx_semantic_segmentation_tpu import lr_schedules
+from rgbx_semantic_segmentation_tpu.config import Config
+
+
+def weight_decay_mask(params) -> Any:
+    """True (decay) for conv/linear kernels; False for biases/norm scales/scalars
+    — matching reference group_weight (init_func.py:33-58)."""
+
+    def is_kernel(path, leaf):
+        last = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        return last == "kernel" and jnp.ndim(leaf) >= 2
+
+    return jax.tree_util.tree_map_with_path(is_kernel, params)
+
+
+def build_optimizer(cfg: Config, params) -> optax.GradientTransformation:
+    tc = cfg.train
+    schedule = lr_schedules.warmup_poly_lr(
+        tc.lr, tc.lr_power, tc.total_iters, tc.warmup_iters)
+    mask = weight_decay_mask(params)
+    name = tc.optimizer
+    if name == "AdamW":
+        return optax.adamw(learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8,
+                           weight_decay=tc.weight_decay, mask=mask)
+    if name in ("SGDM", "SGD"):
+        # reference: SGD(lr, momentum, weight_decay) — decay applied to the same
+        # decay group only.
+        return optax.chain(
+            optax.add_decayed_weights(tc.weight_decay, mask=mask),
+            optax.sgd(learning_rate=schedule, momentum=tc.momentum),
+        )
+    if name == "LBFGS":
+        return optax.lbfgs(learning_rate=tc.lr)
+    raise KeyError(f"unknown optimizer {name!r}")

@@ -1,0 +1,52 @@
+"""Device mesh + sharding layout.
+
+Replaces the reference's NCCL/DDP runtime (reference engine/engine.py:56,
+train.py:145-146): one `jax.sharding.Mesh` over all chips with the batch sharded
+on the 'data' axis and parameters replicated. Under `jit`, XLA inserts the
+gradient all-reduces over ICI (and the global BatchNorm reductions — SyncBN
+parity) automatically; there is no NCCL-style process zoo.
+
+The mesh is 1-D ('data') today — the reference supports data parallelism only
+(SURVEY.md §2.7). The axis names reserve room for spatial/model axes later.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Optional[Sequence] = None,
+              n_devices: Optional[int] = None) -> Mesh:
+    """1-D data-parallel mesh over the given (default: all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dim sharded across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch (pytree of arrays, leading dim = global batch) onto the
+    mesh, sharded on 'data'. Per-device batch = global // n_devices, matching the
+    reference's batch_size // world_size split (dataloader.py:153-156)."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
