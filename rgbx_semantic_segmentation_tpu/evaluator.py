@@ -1,0 +1,238 @@
+"""Sliding-window + multi-scale + flip evaluation.
+
+Parity target: reference `engine/evaluator.py:306-432` (sliding_eval_rgbX /
+scale_process_rgbX / val_func_process_rgbX) and `eval.py:22-83` (per-image
+confusion-matrix accumulation, checkpoint-range sweeps).
+
+TPU-first redesign (SURVEY.md §7 step 5): the reference dispatches one
+(1, C, ch, cw) forward per window inside a python double loop; here the window
+grid for each (scale, image-size) is computed statically and all windows run as
+ONE batched jitted forward per scale — fixed shapes, one compile per
+(n_windows, crop) signature, MXU-friendly batching.
+
+Faithful reference semantics kept:
+  - scores are exponentiated per forward and exp-scores are summed over windows
+    and scales (evaluator.py:364,393,319)
+  - flip augmentation adds the un-flipped score of the flipped input before the
+    exp (evaluator.py:387-392)
+  - windows are padded/cropped with center margins (evaluator.py:330-333)
+
+Reference quirks fixed (documented, SURVEY.md §7):
+  - the reference swaps h/w stride indices in the sliding grid
+    (evaluator.py:347-352); we use (row stride, col stride) correctly.
+  - the reference fork's eval.py normalizes twice (ValPre then
+    process_image_rgbX); we normalize exactly once. `compat_double_normalize`
+    restores the fork behaviour for checkpoint-parity debugging.
+"""
+from __future__ import annotations
+
+import math
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rgbx_semantic_segmentation_tpu import metrics as metrics_lib
+from rgbx_semantic_segmentation_tpu.config import Config
+from rgbx_semantic_segmentation_tpu.data import cv_ops
+
+
+def _window_grid(pad_h: int, pad_w: int, crop: Tuple[int, int],
+                 stride_rate: float) -> List[Tuple[int, int]]:
+    """Static list of (y, x) window origins covering the padded canvas."""
+    ch, cw = crop
+    sy = int(math.ceil(ch * stride_rate))
+    sx = int(math.ceil(cw * stride_rate))
+    rows = int(math.ceil((pad_h - ch) / sy)) + 1
+    cols = int(math.ceil((pad_w - cw) / sx)) + 1
+    out = []
+    for gy in range(rows):
+        for gx in range(cols):
+            ey = min(gy * sy + ch, pad_h)
+            ex = min(gx * sx + cw, pad_w)
+            out.append((ey - ch, ex - cw))
+    return out
+
+
+class SegEvaluator:
+    """Whole-dataset sliding-window evaluator."""
+
+    def __init__(self, cfg: Config, apply_fn, class_names=None,
+                 compat_double_normalize: bool = False):
+        self.cfg = cfg
+        self.crop = tuple(cfg.eval.eval_crop_size)
+        self.stride_rate = cfg.eval.eval_stride_rate
+        self.scales = tuple(cfg.eval.eval_scale_array)
+        self.flip = cfg.eval.eval_flip
+        self.num_classes = cfg.dataset.num_classes
+        self.norm_mean = cfg.dataset.norm_mean
+        self.norm_std = cfg.dataset.norm_std
+        self.class_names = class_names or list(cfg.dataset.class_names)
+        self.compat_double_normalize = compat_double_normalize
+        self._apply_fn = apply_fn
+
+        def fwd(variables, rgb, modal_x):
+            out = apply_fn(variables, rgb, modal_x, False)
+            if isinstance(out, tuple):
+                out = out[0]
+            score = out.astype(jnp.float32)
+            if self.flip:
+                out_f = apply_fn(variables, rgb[:, :, ::-1], modal_x[:, :, ::-1],
+                                 False)
+                if isinstance(out_f, tuple):
+                    out_f = out_f[0]
+                score = score + out_f.astype(jnp.float32)[:, :, ::-1]
+            return jnp.exp(score)  # reference evaluator.py:393
+
+        self._fwd = jax.jit(fwd)
+
+    # ---------------------------------------------------------------- core --
+
+    def _normalize_pair(self, img: np.ndarray, modal_x: np.ndarray):
+        img_n = cv_ops.normalize(img, self.norm_mean, self.norm_std)
+        modal_n = cv_ops.normalize(modal_x, self.norm_mean, self.norm_std)
+        if self.compat_double_normalize:
+            img_n = cv_ops.normalize(img_n * 255.0, self.norm_mean,
+                                     self.norm_std)
+            modal_n = cv_ops.normalize(modal_n * 255.0, self.norm_mean,
+                                       self.norm_std)
+        return img_n, modal_n
+
+    def _batched_windows_forward(self, variables, img: np.ndarray,
+                                 modal_x: np.ndarray) -> np.ndarray:
+        """Run the model over the sliding grid of one (already scaled) image.
+        Returns the exp-score canvas (H, W, C) before margin cropping."""
+        ch, cw = self.crop
+        h, w = img.shape[:2]
+        if h <= ch or w <= cw:  # one-shot path (reference evaluator.py:330-333)
+            img_p, margin = cv_ops.pad_to_shape(img, self.crop, value=0)
+            modal_p, _ = cv_ops.pad_to_shape(modal_x, self.crop, value=0)
+            score = np.asarray(self._fwd(variables, img_p[None], modal_p[None]))[0]
+            return score[margin[0]:score.shape[0] - margin[1],
+                         margin[2]:score.shape[1] - margin[3]]
+
+        img_p, margin = cv_ops.pad_to_shape(img, self.crop, value=0)
+        modal_p, _ = cv_ops.pad_to_shape(modal_x, self.crop, value=0)
+        ph, pw = img_p.shape[:2]
+        grid = _window_grid(ph, pw, self.crop, self.stride_rate)
+        rgb_windows = np.stack([img_p[y:y + ch, x:x + cw] for (y, x) in grid])
+        mx_windows = np.stack([modal_p[y:y + ch, x:x + cw] for (y, x) in grid])
+        scores = np.asarray(self._fwd(variables, rgb_windows, mx_windows))
+        canvas = np.zeros((ph, pw, self.num_classes), np.float32)
+        for (y, x), s in zip(grid, scores):
+            canvas[y:y + ch, x:x + cw] += s  # exp-score sum (evaluator.py:364)
+        return canvas[margin[0]:ph - margin[1], margin[2]:pw - margin[3]]
+
+    def sliding_eval_rgbx(self, variables, img: np.ndarray,
+                          modal_x: np.ndarray) -> np.ndarray:
+        """Multi-scale sliding-window prediction for one raw (unnormalised)
+        image pair; returns the argmax class map at original resolution."""
+        ori_h, ori_w = img.shape[:2]
+        total = np.zeros((ori_h, ori_w, self.num_classes), np.float32)
+        for s in self.scales:
+            img_s = cv_ops.resize_by_factor(img, s, s)
+            if modal_x.ndim == 2:
+                modal_s = cv_ops.resize_by_factor(modal_x, s, s, nearest=True)
+                modal_s = np.stack([modal_s] * 3, axis=-1)
+            else:
+                modal_s = cv_ops.resize_by_factor(modal_x, s, s)
+            img_n, modal_n = self._normalize_pair(img_s, modal_s)
+            canvas = self._batched_windows_forward(variables, img_n, modal_n)
+            total += cv_ops.resize_linear(canvas, (ori_h, ori_w))
+        return total.argmax(axis=-1)
+
+    # ----------------------------------------------------------------- run --
+
+    def evaluate(self, variables, dataset, save_path: Optional[str] = None,
+                 logger=None) -> Tuple[metrics_lib.Scores, str]:
+        """Evaluate a whole dataset; returns (scores, formatted result line)
+        (reference eval.py:23-83)."""
+        hist = np.zeros((self.num_classes, self.num_classes), np.int64)
+        correct = 0
+        labeled = 0
+        t0 = time.time()
+        for i in range(len(dataset)):
+            item = dataset[i]
+            pred = self.sliding_eval_rgbx(variables, item["rgb"],
+                                          item["modal_x"])
+            h, l, c = metrics_lib.hist_info(self.num_classes, pred,
+                                            np.asarray(item["label"]))
+            hist += h
+            labeled += l
+            correct += c
+            if save_path is not None:
+                self._save_prediction(pred, item["fn"], save_path)
+            if logger is not None and (i + 1) % 25 == 0:
+                logger.info("eval %d/%d (%.2f img/s)", i + 1, len(dataset),
+                            (i + 1) / (time.time() - t0))
+        scores = metrics_lib.compute_score(hist, correct, labeled)
+        line = metrics_lib.print_iou(scores, self.class_names)
+        return scores, line
+
+    def _save_prediction(self, pred: np.ndarray, name: str, save_path: str):
+        """Palettised + raw PNG dumps (reference eval.py:38-55)."""
+        import os
+        from PIL import Image
+
+        from rgbx_semantic_segmentation_tpu.data.dataset import RGBXDataset
+
+        os.makedirs(save_path, exist_ok=True)
+        os.makedirs(save_path + "_color", exist_ok=True)
+        result = Image.fromarray(pred.astype(np.uint8), mode="P")
+        colors = RGBXDataset.get_class_colors(self.cfg.dataset.dataset_name)
+        palette = list(np.array(colors).flat)
+        palette += [0] * (768 - len(palette))
+        result.putpalette(palette)
+        result.save(os.path.join(save_path + "_color", name + ".png"))
+        Image.fromarray(pred.astype(np.uint8)).save(
+            os.path.join(save_path, name + ".png"))
+
+
+def evaluate_checkpoints(cfg: Config, dataset, epochs: Sequence[int],
+                         checkpoint_dir: str, val_log: Optional[str] = None,
+                         logger=None) -> Dict[int, metrics_lib.Scores]:
+    """Epoch-range checkpoint sweep (reference evaluator.py:42-98): evaluate each
+    saved epoch and append formatted results to the val log."""
+    import jax
+
+    from rgbx_semantic_segmentation_tpu import train as train_lib
+    from rgbx_semantic_segmentation_tpu.checkpoint import CheckpointManager
+
+    state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    mgr = CheckpointManager(checkpoint_dir)
+    model_apply = state.apply_fn
+    evaluator = SegEvaluator(cfg, model_apply)
+    results = {}
+    for epoch in epochs:
+        st, _ = mgr.restore(state, epoch)
+        variables = {"params": st.params}
+        if st.batch_stats:
+            variables["batch_stats"] = st.batch_stats
+        scores, line = evaluator.evaluate(variables, dataset, logger=logger)
+        results[epoch] = scores
+        header = f"======= epoch {epoch} =======\n"
+        if val_log:
+            with open(val_log, "a") as f:
+                f.write(header + line + "\n")
+        if logger is not None:
+            logger.info("\n%s%s", header, line)
+    return results
+
+
+def parse_epoch_spec(spec: str, available: Sequence[int]) -> List[int]:
+    """'300' | '250-400' | '250-' | 'last' -> epoch list
+    (reference evaluator.py:42-81 link/range logic)."""
+    available = sorted(available)
+    if not available:
+        return []
+    if spec in ("last", ""):
+        return [available[-1]]
+    if "-" in spec:
+        lo, _, hi = spec.partition("-")
+        lo = int(lo)
+        hi = int(hi) if hi else available[-1]
+        return [e for e in available if lo <= e <= hi]
+    e = int(spec)
+    return [e] if e in available else []
