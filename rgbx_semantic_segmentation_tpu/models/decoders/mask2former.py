@@ -1,0 +1,162 @@
+"""Simplified Mask2Former head: learned queries + FPN pixel decoder + transformer
+decoder + class/mask predictors.
+
+Parity target: reference `models/decoders/mask2former.py:6-221` — 100 learned
+queries, FPN pixel decoder over the 4 fused scales, a 9-layer transformer decoder
+(self-attn + cross-attn + FFN, post-norm), a (num_classes+1) class head and a
+dot-product mask predictor with a learned sigmoid temperature. Returns the
+{'pred_logits', 'pred_masks'} dict consumed by losses.mask2former_loss.
+
+Documented deviation: the reference appends the SAME TransformerDecoderLayer
+instance 9 times (mask2former.py:135-140), silently weight-tying all layers; here
+the layers are independent (the intended Mask2Former design).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from rgbx_semantic_segmentation_tpu.ops import layers as L
+from rgbx_semantic_segmentation_tpu.ops.attention import multi_head_attention
+from rgbx_semantic_segmentation_tpu.ops.resize import resize_bilinear
+
+Dtype = Any
+HIDDEN = 256
+
+
+class PixelDecoder(nn.Module):
+    """FPN-style pixel decoder (reference mask2former.py:70-130). Returns
+    (mask_features at 1/4, transformer_features at 1/32), NHWC."""
+
+    in_channels: Tuple[int, ...]
+    bn_momentum: float = 0.1
+    bn_eps: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, features: Sequence[jnp.ndarray], train: bool = False):
+        laterals = [
+            L.conv(HIDDEN, 1, dtype=self.dtype, name=f"lateral_convs_{i}")(f)
+            for i, f in enumerate(features)
+        ]
+        for idx in range(len(laterals) - 1, 0, -1):
+            up = resize_bilinear(laterals[idx], laterals[idx - 1].shape[1:3])
+            y = laterals[idx - 1] + up
+            y = L.conv(HIDDEN, 3, padding=((1, 1), (1, 1)), dtype=self.dtype,
+                       name=f"output_convs_{idx - 1}_0")(y)
+            y = L.batch_norm(self.bn_momentum, self.bn_eps, dtype=self.dtype,
+                             name=f"output_convs_{idx - 1}_1")(
+                y, use_running_average=not train)
+            laterals[idx - 1] = nn.relu(y)
+        m = L.conv(HIDDEN, 3, padding=((1, 1), (1, 1)), dtype=self.dtype,
+                   name="mask_features_0")(laterals[0])
+        m = L.batch_norm(self.bn_momentum, self.bn_eps, dtype=self.dtype,
+                         name="mask_features_1")(m,
+                                                 use_running_average=not train)
+        m = nn.relu(m)
+        t = L.conv(HIDDEN, 1, dtype=self.dtype,
+                   name="transformer_features_0")(laterals[-1])
+        t = L.batch_norm(self.bn_momentum, self.bn_eps, dtype=self.dtype,
+                         name="transformer_features_1")(
+            t, use_running_average=not train)
+        return m, t
+
+
+class _MHA(nn.Module):
+    """Multi-head attention with packed-qkv-equivalent projections (matches
+    torch nn.MultiheadAttention math; dropout on attn weights omitted at the
+    reference's eval path)."""
+
+    num_heads: int = 8
+    dropout: float = 0.1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, q, k, v, train: bool = False):
+        B, N, C = q.shape
+        h = self.num_heads
+        d = C // h
+
+        def proj(x, name):
+            return L.dense(C, dtype=self.dtype, name=name)(x).reshape(
+                x.shape[0], x.shape[1], h, d).transpose(0, 2, 1, 3)
+
+        qh = proj(q, "q_proj")
+        kh = proj(k, "k_proj")
+        vh = proj(v, "v_proj")
+        out = multi_head_attention(qh, kh, vh, d ** -0.5)
+        out = L.dense(C, dtype=self.dtype, name="out_proj")(out)
+        return nn.Dropout(self.dropout, deterministic=not train)(out)
+
+
+class TransformerDecoderLayer(nn.Module):
+    """Post-norm decoder layer: self-attn -> cross-attn -> FFN
+    (reference mask2former.py:153-197)."""
+
+    dim_feedforward: int = 2048
+    num_heads: int = 8
+    dropout: float = 0.1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, queries, memory, train: bool = False):
+        y = _MHA(self.num_heads, self.dropout, self.dtype,
+                 name="self_attn")(queries, queries, queries, train)
+        queries = nn.LayerNorm(dtype=self.dtype, name="norm1")(queries + y)
+        y = _MHA(self.num_heads, self.dropout, self.dtype,
+                 name="cross_attn")(queries, memory, memory, train)
+        queries = nn.LayerNorm(dtype=self.dtype, name="norm2")(queries + y)
+        y = L.dense(self.dim_feedforward, dtype=self.dtype, name="ffn_0")(queries)
+        y = nn.relu(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        y = L.dense(queries.shape[-1], dtype=self.dtype, name="ffn_3")(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        return nn.LayerNorm(dtype=self.dtype, name="norm3")(queries + y)
+
+
+class Mask2Former(nn.Module):
+    in_channels: Tuple[int, ...]
+    num_classes: int
+    num_queries: int = 100
+    num_decoder_layers: int = 9
+    bn_momentum: float = 0.1
+    bn_eps: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, features: Sequence[jnp.ndarray], train: bool = False):
+        B = features[0].shape[0]
+        mask_feats, tr_feats = PixelDecoder(
+            tuple(self.in_channels), self.bn_momentum, self.bn_eps,
+            dtype=self.dtype, name="pixel_decoder")(features, train)
+        Ht, Wt = tr_feats.shape[1:3]
+        memory = tr_feats.reshape(B, Ht * Wt, HIDDEN)
+
+        query_embed = self.param("query_embed",
+                                 nn.initializers.normal(stddev=0.02),
+                                 (self.num_queries, HIDDEN))
+        queries = jnp.broadcast_to(query_embed[None],
+                                   (B, self.num_queries, HIDDEN))
+        queries = queries.astype(memory.dtype)
+        for i in range(self.num_decoder_layers):
+            queries = TransformerDecoderLayer(
+                dtype=self.dtype, name=f"layers_{i}")(queries, memory, train)
+        queries = nn.LayerNorm(dtype=self.dtype, name="decoder_norm")(queries)
+
+        logits = L.dense(self.num_classes + 1, dtype=self.dtype,
+                         name="class_embed")(queries)
+
+        # Mask predictor (reference mask2former.py:199-222).
+        q = L.dense(HIDDEN, dtype=self.dtype, name="query_proj")(queries)
+        q = L.dense(HIDDEN, dtype=self.dtype, name="out_proj")(q)
+        scale = self.param("scale", nn.initializers.constant(20.0), (1,))
+        q = q * nn.sigmoid(scale.astype(q.dtype))
+        Hm, Wm = mask_feats.shape[1:3]
+        mf = mask_feats.reshape(B, Hm * Wm, HIDDEN)
+        masks = jnp.einsum("bqc,bnc->bqn", q, mf,
+                           preferred_element_type=jnp.float32)
+        masks = masks.reshape(B, self.num_queries, Hm, Wm)
+        return {"pred_logits": logits.astype(jnp.float32),
+                "pred_masks": masks.astype(jnp.float32)}

@@ -27,6 +27,67 @@ def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     return out.astype(x.dtype)
 
 
+def resize_bilinear_align_corners(x: jnp.ndarray,
+                                  size: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize with torch align_corners=True semantics
+    (src = dst * (in-1)/(out-1)) — used by the DeepLabV3+ head
+    (reference deeplabv3plus.py:32,63). Implemented as two static weighted
+    gathers; all indices are compile-time constants.
+    """
+    import numpy as np
+
+    B, H, W, C = x.shape
+    oh, ow = size
+    if (H, W) == (oh, ow):
+        return x
+
+    def idx_w(in_len, out_len):
+        if out_len == 1:
+            return (np.zeros(1, np.int32), np.zeros(1, np.int32),
+                    np.zeros(1, np.float32))
+        src = np.arange(out_len) * (in_len - 1) / (out_len - 1)
+        lo = np.floor(src).astype(np.int32)
+        hi = np.minimum(lo + 1, in_len - 1)
+        w = (src - lo).astype(np.float32)
+        return lo, hi, w
+
+    y0, y1, wy = idx_w(H, oh)
+    x0, x1, wx = idx_w(W, ow)
+    xf = x.astype(jnp.float32)
+    top = xf[:, y0] * (1.0 - wy)[None, :, None, None] + \
+        xf[:, y1] * wy[None, :, None, None]
+    out = top[:, :, x0] * (1.0 - wx)[None, None, :, None] + \
+        top[:, :, x1] * wx[None, None, :, None]
+    return out.astype(x.dtype)
+
+
+def adaptive_avg_pool(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """torch AdaptiveAvgPool2d over NHWC: bin i spans
+    [floor(i*in/out), ceil((i+1)*in/out)) — static per (in, out) pair.
+    Used by the UPerNet PPM (reference UPernet.py:129) and channel-attention
+    heads (pool to 1x1)."""
+    import numpy as np
+
+    B, H, W, C = x.shape
+    oh, ow = out_hw
+    if (oh, ow) == (1, 1):
+        return jnp.mean(x, axis=(1, 2), keepdims=True)
+
+    def pool_axis(arr, in_len, out_len, axis):
+        segs = []
+        for i in range(out_len):
+            lo = int(np.floor(i * in_len / out_len))
+            hi = int(np.ceil((i + 1) * in_len / out_len))
+            segs.append(jnp.mean(
+                jax.lax.slice_in_dim(arr, lo, hi, axis=axis),
+                axis=axis, keepdims=True))
+        return jnp.concatenate(segs, axis=axis)
+
+    x = pool_axis(x, H, oh, axis=1)
+    x = pool_axis(x, W, ow, axis=2)
+    return x
+
+
 def resize_nearest(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     """Nearest-neighbour resize for label maps."""
     B, H, W = x.shape[:3]
