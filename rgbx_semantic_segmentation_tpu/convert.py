@@ -38,9 +38,13 @@ def torch_key_to_path(key: str) -> Tuple[str, ...]:
     return tuple(merged)
 
 
+# Non-parameter torch buffers recomputed statically in this framework.
+_SKIP_BUFFERS = {"num_batches_tracked", "relative_position_index", "attn_mask"}
+
+
 def _convert_leaf(name: str, value: np.ndarray):
     """Returns (collection, new_name, new_value) or None to skip."""
-    if name == "num_batches_tracked":
+    if name in _SKIP_BUFFERS:
         return None
     if name in _BN_STATS:
         return "batch_stats", _BN_STATS[name], value
@@ -103,6 +107,46 @@ def duplicate_dual_path(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
     return out
 
 
+def duplicate_dual_path_swin(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Single-tower Swin checkpoint -> dual-tower key space, replicating
+    reference dual_swin.load_dualpath_model (dual_swin.py:699-737): pulls
+    layers.i.downsample.* out into downsamples.i.*, then duplicates each entry
+    under the _d tower."""
+    out: Dict[str, Any] = {}
+    for k, v in state_dict.items():
+        if "downsample" in k and "layer" in k:
+            name = k.replace("downsample.", "").replace("layers", "downsamples")
+            out[name] = v
+            out[name.replace("downsamples", "downsamples_d")] = v
+        elif "patch_embed" in k:
+            out[k] = v
+            out[k.replace("patch_embed", "patch_embed_d")] = v
+        elif "layer" in k:
+            out[k] = v
+            out[k.replace("layers", "layers_d")] = v
+        elif "norm" in k:
+            out[k] = v
+            out[k.replace("norm", "norm_d")] = v
+        else:
+            out[k] = v
+    return out
+
+
+def duplicate_dual_path_resnet(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """torchvision ResNet checkpoint -> dual-tower key space (reference
+    dual_resnet.load_dualpath_model, dual_resnet.py:102-138). Accepts either
+    bare torchvision keys (conv1.weight, ...) or backbone.-prefixed ones; the
+    fc head is dropped (reference strips it, dual_resnet.py:39-40)."""
+    out: Dict[str, Any] = {}
+    for k, v in state_dict.items():
+        if k.startswith("fc.") or ".fc." in k:
+            continue
+        key = k if k.startswith("backbone.") else "backbone." + k
+        out[key] = v
+        out[key.replace("backbone.", "backbone_d.")] = v
+    return out
+
+
 def merge_variables(init_vars: FlaxVariables, loaded: FlaxVariables,
                     strict: bool = False) -> FlaxVariables:
     """Overlay loaded variables onto an init tree: load_state_dict(strict=False)
@@ -150,12 +194,37 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     return {k: v.detach().cpu().numpy() for k, v in raw.items()}
 
 
+def duplicate_dual_path_segnext(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """SegNeXt single-tower -> dual-tower (reference dual_segnext.py:358-387
+    semantics, adapted to this framework's working stage/downsample naming)."""
+    out: Dict[str, Any] = {}
+    for k, v in state_dict.items():
+        for prefix in ("stem", "stages", "downsample", "norm"):
+            if k.startswith(prefix):
+                out[k] = v
+                out["extra_" + k] = v
+                break
+        else:
+            out[k] = v
+    return out
+
+
+_DUPLICATORS = {
+    "mit": duplicate_dual_path,
+    "swin": duplicate_dual_path_swin,
+    "resnet": duplicate_dual_path_resnet,
+    "segnext": duplicate_dual_path_segnext,
+}
+
+
 def load_dualpath_pretrained(path: str, init_vars: FlaxVariables,
-                             backbone_scope: str = "backbone") -> FlaxVariables:
+                             backbone_scope: str = "backbone",
+                             family: str = "mit") -> FlaxVariables:
     """Full pretrained-backbone load pipeline:
-    .pth -> dual-path duplication -> flax layout -> merge under the backbone scope.
-    """
-    sd = duplicate_dual_path(load_torch_checkpoint(path))
+    .pth -> dual-path duplication -> flax layout -> merge under the backbone
+    scope with strict=False semantics (FRM/FFM stay at init)."""
+    dup = _DUPLICATORS[family]
+    sd = dup(load_torch_checkpoint(path))
     flax_vars = torch_to_flax_variables(sd)
     scoped = {
         coll: {backbone_scope: tree} for coll, tree in flax_vars.items()

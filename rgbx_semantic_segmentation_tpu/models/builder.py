@@ -25,15 +25,65 @@ from rgbx_semantic_segmentation_tpu.ops.resize import resize_bilinear
 
 Dtype = Any
 
-# Backbone registry: name -> (factory, out_channels, default attention heads).
-BACKBONES = {
-    "mit_b0": (dual_segformer.mit_b0, (32, 64, 160, 256)),
-    "mit_b1": (dual_segformer.mit_b1, (64, 128, 320, 512)),
-    "mit_b2": (dual_segformer.mit_b2, (64, 128, 320, 512)),
-    "mit_b3": (dual_segformer.mit_b3, (64, 128, 320, 512)),
-    "mit_b4": (dual_segformer.mit_b4, (64, 128, 320, 512)),
-    "mit_b5": (dual_segformer.mit_b5, (64, 128, 320, 512)),
-}
+
+def _mit_entries():
+    """MiT family: plain, per-stage ASPP (*_w_aspp), single eASPP (*_w_ef_aspp),
+    and the hardwired-IFRM/IFFM '++' variants (reference dual_segformerpp.py).
+    Covers the 18 mit_* names of reference builder.py:66-150."""
+    out = {}
+    factories = {
+        "mit_b0": dual_segformer.mit_b0, "mit_b1": dual_segformer.mit_b1,
+        "mit_b2": dual_segformer.mit_b2, "mit_b3": dual_segformer.mit_b3,
+        "mit_b4": dual_segformer.mit_b4, "mit_b5": dual_segformer.mit_b5,
+    }
+    for name, factory in factories.items():
+        ch = dual_segformer.CHANNELS[name]
+        out[name] = (factory, ch, {})
+        out[name + "_w_aspp"] = (factory, ch, {"aspp": "aspp"})
+        out[name + "_w_ef_aspp"] = (factory, ch, {"aspp": "easpp"})
+        out[name + "pp"] = (factory, ch, {"frm": "IFRM", "ffm": "IFFM"})
+    return out
+
+
+def _other_entries():
+    from rgbx_semantic_segmentation_tpu.models.encoders import (
+        dual_resnet, dual_segnext, dual_swin)
+
+    out = {
+        "swin_s": (dual_swin.swin_s, dual_swin.CHANNELS["swin_s"], {}),
+        "swin_b": (dual_swin.swin_b, dual_swin.CHANNELS["swin_b"], {}),
+        "resnet50": (dual_resnet.dual_resnet50,
+                     dual_resnet.CHANNELS["dual_resnet50"], {}),
+        "resnet101": (dual_resnet.dual_resnet101,
+                      dual_resnet.CHANNELS["dual_resnet101"], {}),
+        "resnet152": (dual_resnet.dual_resnet152,
+                      dual_resnet.CHANNELS["dual_resnet152"], {}),
+    }
+    segnext = {
+        "segnext_tiny": dual_segnext.segnext_tiny,
+        "segnext_small": dual_segnext.segnext_small,
+        "segnext_base": dual_segnext.segnext_base,
+        "segnext_large": dual_segnext.segnext_large,
+        # The reference builder imports segnext_s/segnext_b which do not exist
+        # (reference builder.py:36-44 vs dual_segnext.py:394-404) — aliased to
+        # the real small/base variants here.
+        "segnext_s": dual_segnext.segnext_small,
+        "segnext_b": dual_segnext.segnext_base,
+    }
+    for name, factory in segnext.items():
+        real = {"segnext_s": "segnext_small",
+                "segnext_b": "segnext_base"}.get(name, name)
+        out[name] = (factory, dual_segnext.CHANNELS[real], {})
+    return out
+
+
+def _backbones():
+    reg = _mit_entries()
+    reg.update(_other_entries())
+    return reg
+
+
+BACKBONES = _backbones()
 
 # Decoders that pair with an auxiliary FCN head on feature index 2 with weight
 # 0.4 in the reference (builder.py:166-179).
@@ -46,13 +96,13 @@ def build_backbone(cfg: Config, dtype=None) -> Tuple[nn.Module, Sequence[int]]:
     name = cfg.model.backbone
     if name not in BACKBONES:
         raise KeyError(f"unknown backbone {name!r}; have {sorted(BACKBONES)}")
-    factory, channels = BACKBONES[name]
-    module = factory(
+    factory, channels, overrides = BACKBONES[name]
+    kw = dict(
         frm=cfg.model.feature_rectify_module,
         ffm=cfg.model.feature_fusion_module,
-        dtype=dtype,
-        name="backbone",
     )
+    kw.update(overrides)
+    module = factory(dtype=dtype, name="backbone", **kw)
     return module, channels
 
 

@@ -177,6 +177,10 @@ class RGBXTransformer(nn.Module):
     drop_path_rate: float = 0.0
     frm: str = "FRM"     # FRM | IFRM (reference config.feature_rectify_module)
     ffm: str = "FFM"     # FFM | IFFM
+    # None | "aspp" (per-stage ASPP on the fused maps, reference
+    # dual_segformer_w_aspp.py:398-402) | "easpp" (single eASPP after stage 4,
+    # reference dual_segformer_w_ef_aspp.py:476-477).
+    aspp: Optional[str] = None
     bn_momentum: float = 0.1
     bn_eps: float = 1e-5
     dtype: Optional[Dtype] = None
@@ -225,6 +229,18 @@ class RGBXTransformer(nn.Module):
             fused = ffm_cls(dim=dim, reduction=1, num_heads=self.num_heads[s],
                             bn_momentum=self.bn_momentum, bn_eps=self.bn_eps,
                             dtype=self.dtype, name=f"FFMs_{s}")(m_rgb, m_e, train)
+            if self.aspp == "aspp":
+                from rgbx_semantic_segmentation_tpu.models.encoders.aspp import (
+                    STAGE_ASPP_RATES, StageASPP)
+                fused = StageASPP(dim, STAGE_ASPP_RATES[s],
+                                  bn_momentum=self.bn_momentum,
+                                  dtype=self.dtype,
+                                  name=f"aspp_modules_{s}")(fused, train)
+            elif self.aspp == "easpp" and s == 3:
+                from rgbx_semantic_segmentation_tpu.models.encoders.aspp import (
+                    EASPP)
+                fused = EASPP(dim, (12, 24, 36), bn_momentum=self.bn_momentum,
+                              dtype=self.dtype, name="single_aspp")(fused, train)
             outs.append(fused)
             x_rgb, x_e = m_rgb, m_e  # next stage embeds the rectified maps
             cur += self.depths[s]

@@ -44,7 +44,16 @@ def create_train_state(cfg: Config, rng: jax.Array,
     H, W = input_hw or (cfg.dataset.image_height, cfg.dataset.image_width)
     rgb = jnp.zeros((1, H, W, 3), jnp.float32)
     mx = jnp.zeros((1, H, W, 3), jnp.float32)
-    variables = model.init({"params": rng}, rgb, mx, False)
+    # Initialise on the host CPU: compiling the init program through the TPU
+    # tunnel takes minutes for the big models, while CPU init is seconds; the
+    # jitted train step moves the params to devices on first use.
+    cpu = jax.devices("cpu")[0] if jax.default_backend() != "cpu" else None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            variables = jax.jit(model.init, static_argnums=(3,))(
+                {"params": rng}, rgb, mx, False)
+    else:
+        variables = model.init({"params": rng}, rgb, mx, False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = optim.build_optimizer(cfg, params)
