@@ -45,16 +45,18 @@ def main():
                 np.int32)),
     }
 
-    # Warmup: compile + 2 steps.
+    # Warmup: compile + 2 steps. NOTE: the steps chain through `state`, and the
+    # final device_get forces a real round-trip — block_until_ready does not
+    # synchronize through the axon remote tunnel, so naive timings are invalid.
     for _ in range(3):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    jax.device_get(metrics["loss"])
 
-    n_steps = 10
+    n_steps = 20
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    jax.device_get(metrics["loss"])
     dt = time.perf_counter() - t0
 
     img_per_sec = n_steps * B / dt

@@ -1,0 +1,81 @@
+"""Evaluation entry point.
+
+Parity target: reference `eval.py -e <epochs> [-p save_path]` — checkpoint-range
+sweeps over the sliding-window multi-scale/flip evaluator with per-class IoU
+tables appended to the val log (reference eval.py:85-122, evaluator.py:42-98).
+
+Usage:
+    python eval_cli.py --config mfnet --dataset_root /path/to/MFNet -e 250-400
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", default="mfnet")
+    parser.add_argument("--dataset_root", default=None)
+    parser.add_argument("--backbone", default=None)
+    parser.add_argument("--decoder", default=None)
+    parser.add_argument("-e", "--epochs", default="last",
+                        help="'last' | '300' | '250-400' | '250-'")
+    parser.add_argument("--checkpoint_dir", default=None)
+    parser.add_argument("--save_path", "-p", default=None,
+                        help="dump raw + palettised prediction PNGs here")
+    parser.add_argument("--val_log", default=None)
+    args = parser.parse_args()
+
+    import dataclasses
+
+    import jax
+
+    from rgbx_semantic_segmentation_tpu import train as train_lib
+    from rgbx_semantic_segmentation_tpu.checkpoint import CheckpointManager
+    from rgbx_semantic_segmentation_tpu.config import get_config
+    from rgbx_semantic_segmentation_tpu.data.loader import ValLoader
+    from rgbx_semantic_segmentation_tpu.evaluator import (
+        SegEvaluator, parse_epoch_spec)
+    from rgbx_semantic_segmentation_tpu.logger import get_logger
+
+    cfg = get_config(args.config)
+    model_kw = {}
+    if args.backbone:
+        model_kw["backbone"] = args.backbone
+    if args.decoder:
+        model_kw["decoder"] = args.decoder
+    if model_kw:
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model, **model_kw))
+
+    logger = get_logger()
+    ckpt_dir = args.checkpoint_dir or os.path.join(
+        cfg.log_dir, cfg.tag(), "checkpoint")
+    state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    mgr = CheckpointManager(ckpt_dir)
+    epochs = parse_epoch_spec(args.epochs, mgr.all_epochs())
+    if not epochs:
+        raise SystemExit(f"no checkpoints matching {args.epochs!r} in {ckpt_dir}")
+
+    val = ValLoader(cfg, root=args.dataset_root)
+    evaluator = SegEvaluator(cfg, state.apply_fn)
+    val_log = args.val_log or os.path.join(cfg.log_dir, cfg.tag(),
+                                           "val_last.log")
+    os.makedirs(os.path.dirname(val_log), exist_ok=True)
+    for epoch in epochs:
+        st, _ = mgr.restore(state, epoch)
+        variables = {"params": st.params}
+        if st.batch_stats:
+            variables["batch_stats"] = st.batch_stats
+        scores, line = evaluator.evaluate(variables, val.dataset,
+                                          save_path=args.save_path,
+                                          logger=logger)
+        header = f"======= epoch {epoch} ======="
+        logger.info("\n%s\n%s", header, line)
+        with open(val_log, "a") as f:
+            f.write(header + "\n" + line + "\n")
+    mgr.close()
+
+
+if __name__ == "__main__":
+    main()

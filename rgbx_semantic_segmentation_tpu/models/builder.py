@@ -101,6 +101,10 @@ def build_backbone(cfg: Config, dtype=None) -> Tuple[nn.Module, Sequence[int]]:
         frm=cfg.model.feature_rectify_module,
         ffm=cfg.model.feature_fusion_module,
     )
+    if name.startswith("mit"):
+        # The MiT factories default to the reference's 0.1; the config knob
+        # lets experiments (and ablations) override it.
+        kw["drop_path_rate"] = cfg.model.drop_path_rate
     kw.update(overrides)
     module = factory(dtype=dtype, name="backbone", **kw)
     return module, channels

@@ -1,0 +1,102 @@
+"""Training entry point.
+
+Parity target: reference `train.py` CLI semantics (config-driven model/criterion
+selection, WarmUpPolyLR + AdamW, epoch loop with per-epoch loss logging,
+checkpoint cadence, resume via -c) — but one process drives the whole mesh
+instead of torch.distributed.launch's process-per-GPU (reference README.md:127-130).
+
+Usage:
+    python train_cli.py --config mfnet --dataset_root /path/to/MFNet [-c]
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", default="mfnet",
+                        help="preset name: mfnet | pst900 | nyu")
+    parser.add_argument("--dataset_root", default=None)
+    parser.add_argument("--backbone", default=None)
+    parser.add_argument("--decoder", default=None)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--pretrained", default=None,
+                        help=".pth single-tower backbone checkpoint to convert")
+    parser.add_argument("-c", "--continue", dest="resume", action="store_true")
+    parser.add_argument("-p", "--profile_dir", default=None)
+    args = parser.parse_args()
+
+    import dataclasses
+
+    import jax
+
+    from rgbx_semantic_segmentation_tpu import convert, train as train_lib
+    from rgbx_semantic_segmentation_tpu.config import get_config
+    from rgbx_semantic_segmentation_tpu.data.loader import TrainLoader
+    from rgbx_semantic_segmentation_tpu.engine import Engine
+    from rgbx_semantic_segmentation_tpu.logger import get_logger
+    from rgbx_semantic_segmentation_tpu.parallel import mesh as mesh_lib
+
+    cfg = get_config(args.config)
+    model_kw = {}
+    if args.backbone:
+        model_kw["backbone"] = args.backbone
+    if args.decoder:
+        model_kw["decoder"] = args.decoder
+    if args.pretrained:
+        model_kw["pretrained_model"] = args.pretrained
+    if model_kw:
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model, **model_kw))
+    train_kw = {}
+    if args.epochs:
+        train_kw["nepochs"] = args.epochs
+    if args.batch_size:
+        train_kw["batch_size"] = args.batch_size
+    if args.lr:
+        train_kw["lr"] = args.lr
+    if train_kw:
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, **train_kw))
+
+    logger = get_logger()
+    with Engine(cfg, args) as engine:
+        trainer = train_lib.Trainer(cfg, mesh=engine.mesh)
+        if cfg.model.pretrained_model:
+            variables = {"params": jax.device_get(trainer.state.params),
+                         "batch_stats": jax.device_get(trainer.state.batch_stats)}
+            family = ("swin" if cfg.model.backbone.startswith("swin") else
+                      "resnet" if cfg.model.backbone.startswith("resnet") else
+                      "segnext" if cfg.model.backbone.startswith("segnext") else
+                      "mit")
+            loaded = convert.load_dualpath_pretrained(
+                cfg.model.pretrained_model, variables, family=family)
+            trainer.state = trainer.state.replace(
+                params=mesh_lib.replicate(engine.mesh, loaded["params"]),
+                batch_stats=mesh_lib.replicate(engine.mesh,
+                                               loaded["batch_stats"]))
+            logger.info("loaded pretrained backbone from %s",
+                        cfg.model.pretrained_model)
+
+        start_epoch = 1
+        if args.resume:
+            trainer.state, start_epoch = engine.restore_checkpoint(trainer.state)
+        loader = TrainLoader(cfg, root=args.dataset_root)
+        logger.info("training %s: %d epochs x %d iters, global batch %d",
+                    cfg.tag(), cfg.train.nepochs, loader.niters,
+                    cfg.train.batch_size)
+        for epoch in range(start_epoch, cfg.train.nepochs + 1):
+            t0 = time.time()
+            trainer.epoch = epoch
+            avg_loss = trainer.fit_epoch(iter(loader.epoch(epoch)),
+                                         loader.niters, logger=logger)
+            logger.info("epoch %d/%d loss %.4f (%.1fs, %.2f img/s)",
+                        epoch, cfg.train.nepochs, avg_loss, time.time() - t0,
+                        loader.niters * cfg.train.batch_size / (time.time() - t0))
+            engine.save_checkpoint_if_due(epoch, trainer.state)
+
+
+if __name__ == "__main__":
+    main()
