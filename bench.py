@@ -24,7 +24,19 @@ A100_EST_IMG_PER_SEC = 20.0
 
 
 def main():
+    import os
+
     import jax
+
+    # Persistent compilation cache: the remote axon compile of the big train
+    # step takes minutes; repeat bench runs hit the cache and finish in seconds.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
 
     from rgbx_semantic_segmentation_tpu.config import mfnet_config
     from rgbx_semantic_segmentation_tpu import train as train_lib

@@ -78,6 +78,7 @@ class Attention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     sr_ratio: int = 1
+    use_pallas: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -103,7 +104,7 @@ class Attention(nn.Module):
         v = kv[:, :, 1].transpose(0, 2, 1, 3)
         # attn_drop sits between softmax and the v-matmul in the reference; the
         # default rate is 0 everywhere (mit factories), so the fused path skips it.
-        out = multi_head_attention(q, k, v, scale)
+        out = multi_head_attention(q, k, v, scale, use_pallas=self.use_pallas)
         if self.attn_drop > 0.0:
             raise NotImplementedError(
                 "non-zero attn_drop is unused by every reference config")
@@ -124,6 +125,7 @@ class Block(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     sr_ratio: int = 1
+    use_pallas: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -131,8 +133,8 @@ class Block(nn.Module):
         dp = L.DropPath(self.drop_path, name="drop_path")
         y = L.layer_norm(LN_EPS, dtype=self.dtype, name="norm1")(x)
         y = Attention(self.dim, self.num_heads, self.qkv_bias, self.attn_drop,
-                      self.drop, self.sr_ratio, dtype=self.dtype,
-                      name="attn")(y, H, W, train)
+                      self.drop, self.sr_ratio, self.use_pallas,
+                      dtype=self.dtype, name="attn")(y, H, W, train)
         x = x + dp(y, deterministic=not train)
         y = L.layer_norm(LN_EPS, dtype=self.dtype, name="norm2")(x)
         y = Mlp(self.dim, int(self.dim * self.mlp_ratio), self.drop,
@@ -181,6 +183,7 @@ class RGBXTransformer(nn.Module):
     # dual_segformer_w_aspp.py:398-402) | "easpp" (single eASPP after stage 4,
     # reference dual_segformer_w_ef_aspp.py:476-477).
     aspp: Optional[str] = None
+    use_pallas: bool = False
     bn_momentum: float = 0.1
     bn_eps: float = 1e-5
     dtype: Optional[Dtype] = None
@@ -212,7 +215,7 @@ class RGBXTransformer(nn.Module):
                     mlp_ratio=self.mlp_ratios[s], qkv_bias=self.qkv_bias,
                     drop=self.drop_rate, attn_drop=self.attn_drop_rate,
                     drop_path=dpr[cur + i], sr_ratio=self.sr_ratios[s],
-                    dtype=self.dtype)
+                    use_pallas=self.use_pallas, dtype=self.dtype)
                 x_rgb = Block(**blk_kw, name=f"block{s + 1}_{i}")(
                     x_rgb, H, W, train)
                 x_e = Block(**blk_kw, name=f"extra_block{s + 1}_{i}")(

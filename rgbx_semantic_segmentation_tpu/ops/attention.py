@@ -14,11 +14,18 @@ import jax.numpy as jnp
 
 
 def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                         scale: float) -> jnp.ndarray:
+                         scale: float,
+                         use_pallas: bool = False) -> jnp.ndarray:
     """Softmax attention. q: (B, h, N, d); k, v: (B, h, M, d) -> (B, N, h*d).
 
     Logits and softmax accumulate in fp32 (bf16 inputs stay bf16 on the MXU).
+    With use_pallas (and supported shapes/backend), dispatches to the fused
+    Pallas kernel that keeps the (N x M) probs in VMEM.
     """
+    if use_pallas:
+        from rgbx_semantic_segmentation_tpu.ops import pallas_attention as pa
+        if pa.supported(q.shape, k.shape):
+            return pa.sr_attention_pallas(q, k, v, scale)
     B, h, N, d = q.shape
     logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                         preferred_element_type=jnp.float32) * scale
