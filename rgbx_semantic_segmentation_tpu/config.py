@@ -68,8 +68,12 @@ class ModelConfig:
     # Maps `use_mixed_precision` (reference config.py:61); on TPU this means
     # bfloat16 compute with no loss scaling.
     use_mixed_precision: bool = True
-    # TPU-specific: use Pallas fused attention kernels where available.
-    use_pallas_kernels: bool = True
+    # TPU-specific: use the Pallas fused SR-attention kernel. Default off:
+    # measured on v5e stage-1 shapes (b8, N=19200, M=300, d=64) the XLA path
+    # runs 7.3 ms vs 16.5 ms for the fused kernel — XLA's own fusion is already
+    # near memory-bound speed-of-light here. The kernel remains available for
+    # shapes/configs where VMEM-resident probs win.
+    use_pallas_kernels: bool = False
 
     @property
     def compute_dtype(self):

@@ -14,18 +14,45 @@ conventions the reference relies on (SURVEY.md §7 "hard parts"):
 """
 from __future__ import annotations
 
+import ctypes
 from typing import Tuple
 
 import numpy as np
 
 
+def _native():
+    from rgbx_semantic_segmentation_tpu import native
+
+    return native.lib()
+
+
+def _cptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
 def resize_linear(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
     """cv2.INTER_LINEAR resize for HW or HWC arrays. Returns same dtype
-    (uint8 results are rounded like cv2's fixed-point path, +-1 LSB)."""
+    (uint8 results are rounded like cv2's fixed-point path, +-1 LSB).
+
+    Dispatches to the native OpenMP implementation when built
+    (rgbx_semantic_segmentation_tpu/native), numpy otherwise."""
     in_h, in_w = img.shape[:2]
     out_h, out_w = out_hw
     if (in_h, in_w) == (out_h, out_w):
         return img.copy()
+    nat = _native()
+    if nat is not None and img.dtype in (np.uint8, np.float32):
+        ch = 1 if img.ndim == 2 else img.shape[2]
+        src = np.ascontiguousarray(img)
+        shape = (out_h, out_w) if img.ndim == 2 else (out_h, out_w, ch)
+        dst = np.empty(shape, img.dtype)
+        if img.dtype == np.uint8:
+            nat.resize_linear_u8(_cptr(src, ctypes.c_uint8), in_h, in_w, ch,
+                                 _cptr(dst, ctypes.c_uint8), out_h, out_w)
+        else:
+            nat.resize_linear_f32(_cptr(src, ctypes.c_float), in_h, in_w, ch,
+                                  _cptr(dst, ctypes.c_float), out_h, out_w)
+        return dst
     scale_y = in_h / out_h
     scale_x = in_w / out_w
     sy = (np.arange(out_h, dtype=np.float64) + 0.5) * scale_y - 0.5
@@ -64,6 +91,15 @@ def resize_nearest(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
     out_h, out_w = out_hw
     if (in_h, in_w) == (out_h, out_w):
         return img.copy()
+    nat = _native()
+    if nat is not None and img.dtype == np.uint8:
+        ch = 1 if img.ndim == 2 else img.shape[2]
+        src = np.ascontiguousarray(img)
+        shape = (out_h, out_w) if img.ndim == 2 else (out_h, out_w, ch)
+        dst = np.empty(shape, np.uint8)
+        nat.resize_nearest_u8(_cptr(src, ctypes.c_uint8), in_h, in_w, ch,
+                              _cptr(dst, ctypes.c_uint8), out_h, out_w)
+        return dst
     ys = np.minimum((np.arange(out_h) * (in_h / out_h)).astype(np.int64),
                     in_h - 1)
     xs = np.minimum((np.arange(out_w) * (in_w / out_w)).astype(np.int64),
@@ -136,6 +172,17 @@ def gaussian_blur(img: np.ndarray, ksize: Tuple[int, int] = (5, 5),
     """cv2.GaussianBlur with BORDER_REFLECT_101 (separable)."""
     ky = _gaussian_kernel_1d(ksize[1], sigma)
     kx = _gaussian_kernel_1d(ksize[0], sigma)
+    nat = _native()
+    if (nat is not None and img.dtype == np.uint8 and ksize[0] == ksize[1]
+            and img.ndim in (2, 3)):
+        ch = 1 if img.ndim == 2 else img.shape[2]
+        src = np.ascontiguousarray(img)
+        dst = np.empty_like(src)
+        kern = np.ascontiguousarray(ky, np.float32)
+        nat.gaussian_blur_u8(_cptr(src, ctypes.c_uint8), img.shape[0],
+                             img.shape[1], ch, _cptr(kern, ctypes.c_float),
+                             ksize[0], _cptr(dst, ctypes.c_uint8))
+        return dst
     from scipy.ndimage import convolve1d
 
     out = img.astype(np.float32)
@@ -167,6 +214,20 @@ def pad_to_shape(img: np.ndarray, shape: Tuple[int, int], value=0):
 def normalize(img: np.ndarray, mean, std) -> np.ndarray:
     """x/255 then (x - mean) / std (utils/transforms.py:182-187). float32 output
     (the reference uses float64 on host then casts at tensor creation)."""
+    nat = _native()
+    if nat is not None and img.dtype == np.uint8 and img.ndim == 3:
+        ch = img.shape[2]
+        src = np.ascontiguousarray(img)
+        m = np.ascontiguousarray(np.broadcast_to(
+            np.asarray(mean, np.float32), (ch,)))
+        sinv = np.ascontiguousarray(
+            1.0 / np.broadcast_to(np.asarray(std, np.float32), (ch,)))
+        dst = np.empty(img.shape, np.float32)
+        nat.normalize_u8(_cptr(src, ctypes.c_uint8), img.shape[0],
+                         img.shape[1], ch, _cptr(m, ctypes.c_float),
+                         _cptr(sinv, ctypes.c_float),
+                         _cptr(dst, ctypes.c_float))
+        return dst
     img = img.astype(np.float32) / 255.0
     return ((img - np.asarray(mean, np.float32))
             / np.asarray(std, np.float32)).astype(np.float32)
