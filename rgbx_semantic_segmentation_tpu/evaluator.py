@@ -146,17 +146,23 @@ class SegEvaluator:
     # ----------------------------------------------------------------- run --
 
     def evaluate(self, variables, dataset, save_path: Optional[str] = None,
-                 logger=None) -> Tuple[metrics_lib.Scores, str]:
+                 logger=None, eval_batch: int = 1) -> Tuple[metrics_lib.Scores, str]:
         """Evaluate a whole dataset; returns (scores, formatted result line)
-        (reference eval.py:23-83)."""
+        (reference eval.py:23-83).
+
+        With eval_batch > 1, images whose every eval scale fits in one crop are
+        grouped into batched forwards (one jit signature per scale) — the
+        common whole-image case (e.g. MFNet 480x640 at scale 1.0) runs
+        eval_batch images per device dispatch instead of the reference's
+        one-window-at-a-time loop (evaluator.py:345-364).
+        """
         hist = np.zeros((self.num_classes, self.num_classes), np.int64)
         correct = 0
         labeled = 0
         t0 = time.time()
-        for i in range(len(dataset)):
-            item = dataset[i]
-            pred = self.sliding_eval_rgbx(variables, item["rgb"],
-                                          item["modal_x"])
+
+        def account(pred, item):
+            nonlocal hist, correct, labeled
             h, l, c = metrics_lib.hist_info(self.num_classes, pred,
                                             np.asarray(item["label"]))
             hist += h
@@ -164,12 +170,69 @@ class SegEvaluator:
             correct += c
             if save_path is not None:
                 self._save_prediction(pred, item["fn"], save_path)
-            if logger is not None and (i + 1) % 25 == 0:
-                logger.info("eval %d/%d (%.2f img/s)", i + 1, len(dataset),
-                            (i + 1) / (time.time() - t0))
+
+        n = len(dataset)
+        done = 0
+        i = 0
+        while i < n:
+            if eval_batch > 1:
+                group = [dataset[j] for j in range(i, min(i + eval_batch, n))]
+                shapes = {g["rgb"].shape for g in group}
+                if len(shapes) == 1 and self._one_shot_all_scales(group[0]):
+                    preds = self._batched_whole_image(variables, group)
+                    for item, pred in zip(group, preds):
+                        account(pred, item)
+                    i += len(group)
+                    done += len(group)
+                    continue
+            item = dataset[i]
+            pred = self.sliding_eval_rgbx(variables, item["rgb"],
+                                          item["modal_x"])
+            account(pred, item)
+            i += 1
+            done += 1
+            if logger is not None and done % 25 == 0:
+                logger.info("eval %d/%d (%.2f img/s)", done, n,
+                            done / (time.time() - t0))
         scores = metrics_lib.compute_score(hist, correct, labeled)
         line = metrics_lib.print_iou(scores, self.class_names)
         return scores, line
+
+    def _one_shot_all_scales(self, item) -> bool:
+        h, w = item["rgb"].shape[:2]
+        ch, cw = self.crop
+        return all(round(h * s) <= ch or round(w * s) <= cw
+                   for s in self.scales)
+
+    def _batched_whole_image(self, variables, group) -> List[np.ndarray]:
+        """Batched multi-scale whole-image path (every scale is one-shot)."""
+        ori_h, ori_w = group[0]["rgb"].shape[:2]
+        B = len(group)
+        total = np.zeros((B, ori_h, ori_w, self.num_classes), np.float32)
+        for s in self.scales:
+            rgbs, mxs, margins = [], [], None
+            for item in group:
+                img_s = cv_ops.resize_by_factor(item["rgb"], s, s)
+                mx = item["modal_x"]
+                if mx.ndim == 2:
+                    mx_s = cv_ops.resize_by_factor(mx, s, s, nearest=True)
+                    mx_s = np.stack([mx_s] * 3, axis=-1)
+                else:
+                    mx_s = cv_ops.resize_by_factor(mx, s, s)
+                img_n, mx_n = self._normalize_pair(img_s, mx_s)
+                img_p, margin = cv_ops.pad_to_shape(img_n, self.crop, value=0)
+                mx_p, _ = cv_ops.pad_to_shape(mx_n, self.crop, value=0)
+                rgbs.append(img_p)
+                mxs.append(mx_p)
+                margins = margin
+            scores = np.asarray(self._fwd(variables, np.stack(rgbs),
+                                          np.stack(mxs)))
+            m = margins
+            scores = scores[:, m[0]:scores.shape[1] - m[1],
+                            m[2]:scores.shape[2] - m[3]]
+            for b in range(B):
+                total[b] += cv_ops.resize_linear(scores[b], (ori_h, ori_w))
+        return [total[b].argmax(axis=-1) for b in range(B)]
 
     def _save_prediction(self, pred: np.ndarray, name: str, save_path: str):
         """Palettised + raw PNG dumps (reference eval.py:38-55)."""

@@ -1,0 +1,52 @@
+"""Batched whole-image eval path must produce identical results to the
+per-image sliding path."""
+import numpy as np
+import pytest
+import jax
+
+from rgbx_semantic_segmentation_tpu.config import (
+    DatasetConfig, EvalConfig, ModelConfig, TrainConfig, mfnet_config)
+from rgbx_semantic_segmentation_tpu import train as train_lib
+from rgbx_semantic_segmentation_tpu.data.loader import ValLoader
+from rgbx_semantic_segmentation_tpu.data.synthetic import make_synthetic_dataset
+from rgbx_semantic_segmentation_tpu.evaluator import SegEvaluator
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("evalb")
+    ds = make_synthetic_dataset(str(root), num_train=2, num_val=5,
+                                hw=(32, 40), num_classes=4, seed=3)
+    cfg = mfnet_config().replace(
+        dataset=ds,
+        model=ModelConfig(backbone="mit_b0", decoder="MLPDecoder",
+                          decoder_embed_dim=64, use_mixed_precision=False),
+        eval=EvalConfig(eval_scale_array=(1.0,), eval_flip=False,
+                        eval_crop_size=(32, 40)),
+    )
+    state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return cfg, state, variables
+
+
+def test_batched_matches_per_image(setup):
+    cfg, state, variables = setup
+    val = ValLoader(cfg)
+    ev = SegEvaluator(cfg, state.apply_fn)
+    s1, _ = ev.evaluate(variables, val.dataset, eval_batch=1)
+    s2, _ = ev.evaluate(variables, val.dataset, eval_batch=4)
+    assert s1.mean_iou == pytest.approx(s2.mean_iou, abs=1e-6)
+    assert s1.pixel_acc == pytest.approx(s2.pixel_acc, abs=1e-6)
+    np.testing.assert_allclose(s1.iou, s2.iou, atol=1e-6, equal_nan=True)
+
+
+def test_batched_multiscale_flip(setup):
+    cfg, state, variables = setup
+    cfg2 = cfg.replace(eval=EvalConfig(eval_scale_array=(0.75, 1.0),
+                                       eval_flip=True,
+                                       eval_crop_size=(32, 40)))
+    val = ValLoader(cfg2)
+    ev = SegEvaluator(cfg2, state.apply_fn)
+    s1, _ = ev.evaluate(variables, val.dataset, eval_batch=1)
+    s2, _ = ev.evaluate(variables, val.dataset, eval_batch=3)
+    assert s1.mean_iou == pytest.approx(s2.mean_iou, abs=1e-6)
