@@ -74,6 +74,9 @@ class ModelConfig:
     # near memory-bound speed-of-light here. The kernel remains available for
     # shapes/configs where VMEM-resident probs win.
     use_pallas_kernels: bool = False
+    # Activation checkpointing of transformer blocks (jax.checkpoint): trades
+    # recompute for HBM; needed for mit_b4/b5 at large batch.
+    remat: bool = False
 
     @property
     def compute_dtype(self):

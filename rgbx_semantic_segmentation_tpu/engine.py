@@ -64,7 +64,7 @@ class Engine:
             # engine.py:55-56). On single-host this is a no-op.
             jax.distributed.initialize()
         from rgbx_semantic_segmentation_tpu.parallel import mesh as mesh_lib
-        self.mesh = mesh_lib.make_mesh()
+        self.mesh = mesh_lib.make_mesh_for_batch(cfg.train.batch_size)
         ckpt_dir = os.path.join(cfg.log_dir, cfg.tag(), "checkpoint")
         self.checkpoints = CheckpointManager(ckpt_dir)
         self._profile_dir = getattr(args, "profile_dir", None) if args else None

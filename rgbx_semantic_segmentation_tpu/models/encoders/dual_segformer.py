@@ -184,6 +184,11 @@ class RGBXTransformer(nn.Module):
     # reference dual_segformer_w_ef_aspp.py:476-477).
     aspp: Optional[str] = None
     use_pallas: bool = False
+    # Rematerialise transformer blocks in backward (activation checkpointing):
+    # trades FLOPs for HBM, enabling mit_b4/b5 at larger batch (maps the
+    # reference Swin use_checkpoint flag, dual_swin.py:385-386, to the MiT
+    # family as well).
+    remat: bool = False
     bn_momentum: float = 0.1
     bn_eps: float = 1e-5
     dtype: Optional[Dtype] = None
@@ -197,6 +202,8 @@ class RGBXTransformer(nn.Module):
         dpr = [float(x) for x in np.linspace(0, self.drop_path_rate, total_depth)]
         frm_cls = fusion.get_frm(self.frm)
         ffm_cls = fusion.get_ffm(self.ffm)
+        block_cls = (nn.remat(Block, static_argnums=(2, 3, 4))
+                     if self.remat else Block)
         patch_cfg = [(7, 4), (3, 2), (3, 2), (3, 2)]  # (kernel, stride) per stage
 
         outs = []
@@ -216,9 +223,9 @@ class RGBXTransformer(nn.Module):
                     drop=self.drop_rate, attn_drop=self.attn_drop_rate,
                     drop_path=dpr[cur + i], sr_ratio=self.sr_ratios[s],
                     use_pallas=self.use_pallas, dtype=self.dtype)
-                x_rgb = Block(**blk_kw, name=f"block{s + 1}_{i}")(
+                x_rgb = block_cls(**blk_kw, name=f"block{s + 1}_{i}")(
                     x_rgb, H, W, train)
-                x_e = Block(**blk_kw, name=f"extra_block{s + 1}_{i}")(
+                x_e = block_cls(**blk_kw, name=f"extra_block{s + 1}_{i}")(
                     x_e, H, W, train)
             x_rgb = L.layer_norm(LN_EPS, dtype=self.dtype,
                                  name=f"norm{s + 1}")(x_rgb)

@@ -30,6 +30,18 @@ def make_mesh(devices: Optional[Sequence] = None,
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def make_mesh_for_batch(global_batch: int,
+                        devices: Optional[Sequence] = None) -> Mesh:
+    """Data mesh over the largest device count that divides the global batch
+    (a batch smaller than the slice should not crash small smoke runs)."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    while n > 1 and global_batch % n != 0:
+        n -= 1
+    return make_mesh(devices, n_devices=n)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) dim sharded across the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))
