@@ -34,11 +34,12 @@ def main():
 
     import jax
 
-    from rgbx_semantic_segmentation_tpu import convert, train as train_lib
+    from rgbx_semantic_segmentation_tpu import convert, lr_schedules, train as train_lib
     from rgbx_semantic_segmentation_tpu.config import get_config
     from rgbx_semantic_segmentation_tpu.data.loader import TrainLoader
     from rgbx_semantic_segmentation_tpu.engine import Engine
     from rgbx_semantic_segmentation_tpu.logger import get_logger
+    from rgbx_semantic_segmentation_tpu.metrics_writer import MetricsWriter
     from rgbx_semantic_segmentation_tpu.parallel import mesh as mesh_lib
 
     cfg = get_config(args.config)
@@ -84,6 +85,11 @@ def main():
         if args.resume:
             trainer.state, start_epoch = engine.restore_checkpoint(trainer.state)
         loader = TrainLoader(cfg, root=args.dataset_root)
+        # Scalar logging (lr + epoch loss, matching reference train.py:226-229,
+        # 306-307): JSONL always, TensorBoard mirror when available.
+        import os as _os
+        writer = MetricsWriter(_os.path.join(cfg.log_dir, cfg.tag()))
+        sched = lr_schedules.build_schedule("WarmUpPolyLR", cfg.train)
         logger.info("training %s: %d epochs x %d iters, global batch %d",
                     cfg.tag(), cfg.train.nepochs, loader.niters,
                     cfg.train.batch_size)
@@ -92,10 +98,15 @@ def main():
             trainer.epoch = epoch
             avg_loss = trainer.fit_epoch(iter(loader.epoch(epoch)),
                                          loader.niters, logger=logger)
+            step_idx = int(trainer.state.step)
+            writer.scalar("train/epoch_loss", avg_loss, epoch)
+            writer.scalar("train/learning_rate", float(sched(step_idx)),
+                          step_idx)
             logger.info("epoch %d/%d loss %.4f (%.1fs, %.2f img/s)",
                         epoch, cfg.train.nepochs, avg_loss, time.time() - t0,
                         loader.niters * cfg.train.batch_size / (time.time() - t0))
             engine.save_checkpoint_if_due(epoch, trainer.state)
+        writer.close()
 
 
 if __name__ == "__main__":
