@@ -45,10 +45,9 @@ def make_synthetic_dataset(root: str, num_train: int = 8, num_val: int = 4,
             rgb = np.zeros((h, w, 3), np.uint8)
             for c in range(num_classes):
                 mask = label == c
-                rgb[mask] = (rng.RandomState if False else rng).randint(
-                    0, 255, size=3, dtype=np.uint8) if False else (
-                    np.array([40 * c + 20, 255 - 40 * c, (70 * c + 30) % 255],
-                             np.uint8))
+                rgb[mask] = np.array([(40 * c + 20) % 256,
+                                      (255 - 40 * c) % 256,
+                                      (70 * c + 30) % 256], np.uint8)
             rgb = np.clip(rgb.astype(np.int32)
                           + rng.randint(-20, 20, rgb.shape), 0, 255).astype(
                 np.uint8)
