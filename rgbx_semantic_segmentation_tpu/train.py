@@ -164,15 +164,21 @@ class Trainer:
 
     def fit_epoch(self, data_iter, niters: int, log_every: int = 50,
                   logger=None) -> float:
+        """One epoch. Losses stay on device until the end of the epoch (or a
+        log point) — forcing a host sync every step serializes dispatch against
+        the device and wrecks throughput."""
         t0 = time.time()
-        loss_sum = 0.0
+        losses = []
         for it in range(niters):
             metrics = self.step(next(data_iter))
+            losses.append(metrics["loss"])
             if (it + 1) % log_every == 0 and logger is not None:
                 logger.info(
                     "epoch %d it %d/%d loss %.4f (%.2f img/s)",
-                    self.epoch, it + 1, niters, float(metrics["loss"]),
+                    self.epoch, it + 1, niters, float(jax.device_get(
+                        metrics["loss"])),
                     (it + 1) * self.cfg.train.batch_size / (time.time() - t0))
-            loss_sum += float(metrics["loss"])
         self.epoch += 1
-        return loss_sum / max(niters, 1)
+        if not losses:
+            return 0.0
+        return float(jax.device_get(jnp.mean(jnp.stack(losses))))
