@@ -8,7 +8,7 @@ races like reference pyt_utils.py:232-245).
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np

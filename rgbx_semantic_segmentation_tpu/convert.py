@@ -17,7 +17,7 @@ load_state_dict(strict=False) semantics (FRM/FFM stay at init).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Optional, Tuple
+from typing import Any, Dict, Mapping, Tuple
 
 import numpy as np
 

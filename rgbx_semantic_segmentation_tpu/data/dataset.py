@@ -17,7 +17,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from rgbx_semantic_segmentation_tpu.config import Config, DatasetConfig
+from rgbx_semantic_segmentation_tpu.config import DatasetConfig
 
 
 def _imread(path: str, grayscale: bool = False) -> np.ndarray:

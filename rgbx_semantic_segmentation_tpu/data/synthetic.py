@@ -11,7 +11,7 @@ from typing import Tuple
 
 import numpy as np
 
-from rgbx_semantic_segmentation_tpu.config import Config, DatasetConfig
+from rgbx_semantic_segmentation_tpu.config import DatasetConfig
 
 
 def make_synthetic_dataset(root: str, num_train: int = 8, num_val: int = 4,

@@ -11,7 +11,7 @@ Reference quirks that are faithfully kept are cited inline; quirks that are bugs
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

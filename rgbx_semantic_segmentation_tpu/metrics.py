@@ -8,7 +8,7 @@ round-trip per image.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Sequence
 
 import jax.numpy as jnp
 import numpy as np

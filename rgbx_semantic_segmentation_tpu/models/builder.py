@@ -15,7 +15,6 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence, Tuple
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 from rgbx_semantic_segmentation_tpu.config import Config

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 from rgbx_semantic_segmentation_tpu.models import fusion

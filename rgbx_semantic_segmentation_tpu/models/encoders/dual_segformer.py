@@ -19,9 +19,8 @@ TPU-first design notes:
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 from rgbx_semantic_segmentation_tpu.models import fusion

@@ -19,7 +19,6 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence
 
 import numpy as np
-import jax.numpy as jnp
 from flax import linen as nn
 
 from rgbx_semantic_segmentation_tpu.models import fusion

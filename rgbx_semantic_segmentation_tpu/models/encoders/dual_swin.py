@@ -13,8 +13,7 @@ pure reshapes that XLA folds into the attention kernel's layout.
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import numpy as np
 import jax

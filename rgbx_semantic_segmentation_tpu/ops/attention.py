@@ -7,8 +7,6 @@ dispatch to for large token counts.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

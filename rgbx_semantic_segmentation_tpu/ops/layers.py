@@ -7,7 +7,6 @@ fan_out = kh*kw*out_channels/groups, zero bias.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Optional, Sequence
 
 import jax

@@ -12,7 +12,7 @@ step instead of the reference's per-iteration host poke into param groups
 """
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -14,13 +14,11 @@ handling (engine/engine.py:14-26) — re-designed TPU-first:
 """
 from __future__ import annotations
 
-import functools
 import time
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import optax
 from flax.training import train_state
 
 from rgbx_semantic_segmentation_tpu import losses as losses_lib

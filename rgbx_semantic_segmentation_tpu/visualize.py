@@ -7,7 +7,7 @@ metrics (print_iou, visualize.py:54-74).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 
