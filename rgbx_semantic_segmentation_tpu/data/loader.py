@@ -34,17 +34,19 @@ class TrainLoader:
 
     def __init__(self, cfg: Config, root: Optional[str] = None,
                  num_workers: Optional[int] = None, seed: Optional[int] = None,
-                 prefetch: int = 4):
+                 prefetch: int = 4, device_normalize: bool = True):
         self.cfg = cfg
         seed = cfg.train.seed if seed is None else seed
         self._rng = np.random.RandomState(seed)
+        self.device_normalize = device_normalize
         pre = TrainPre(
             norm_mean=cfg.dataset.norm_mean, norm_std=cfg.dataset.norm_std,
             image_hw=(cfg.dataset.image_height, cfg.dataset.image_width),
             num_classes=cfg.dataset.num_classes,
             background=cfg.dataset.background,
             train_scale_array=cfg.train.train_scale_array,
-            rng=np.random.RandomState(seed + 1))
+            rng=np.random.RandomState(seed + 1),
+            normalize=not device_normalize)
         file_length = cfg.train.batch_size * cfg.train.niters_per_epoch
         self.dataset = RGBXDataset(cfg.dataset, "train", pre,
                                    file_length=file_length, root=root)

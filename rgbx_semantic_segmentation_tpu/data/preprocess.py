@@ -22,12 +22,16 @@ class TrainPre:
 
     accepts_rng = True
 
+    # When normalize=False the pipeline emits post-augmentation uint8 images
+    # (and uint8 labels); normalization then happens on device inside the
+    # jitted train step — 3.4x less host->device traffic than fp32.
+
     def __init__(self, norm_mean, norm_std, image_hw: Tuple[int, int],
                  num_classes: int, background: int = 255,
                  train_scale_array: Optional[Sequence[float]] = None,
                  rng: Optional[np.random.RandomState] = None,
                  color_jitter: bool = True, blur: bool = True,
-                 cutout_p: float = 0.5):
+                 cutout_p: float = 0.5, normalize: bool = True):
         self.norm_mean = norm_mean
         self.norm_std = norm_std
         self.image_hw = image_hw
@@ -38,6 +42,7 @@ class TrainPre:
         self.color_jitter = color_jitter
         self.blur = blur
         self.cutout_p = cutout_p
+        self.normalize = normalize
 
     def __call__(self, rgb, gt, modal_x, rng=None):
         # A per-sample rng (seeded from (seed, epoch, index) by the loader)
@@ -82,11 +87,15 @@ class TrainPre:
             gt = cv_ops.resize_nearest(gt, (h, w))
             modal_x = cv_ops.resize_linear(modal_x, (h, w))
 
-        rgb = cv_ops.normalize(rgb, self.norm_mean, self.norm_std)
-        modal_x = cv_ops.normalize(modal_x, self.norm_mean, self.norm_std)
-        return (np.ascontiguousarray(rgb),
-                np.ascontiguousarray(gt.astype(np.int32)),
-                np.ascontiguousarray(modal_x))
+        if self.normalize:
+            rgb = cv_ops.normalize(rgb, self.norm_mean, self.norm_std)
+            modal_x = cv_ops.normalize(modal_x, self.norm_mean, self.norm_std)
+            return (np.ascontiguousarray(rgb),
+                    np.ascontiguousarray(gt.astype(np.int32)),
+                    np.ascontiguousarray(modal_x))
+        return (np.ascontiguousarray(rgb.astype(np.uint8)),
+                np.ascontiguousarray(gt.astype(np.uint8)),
+                np.ascontiguousarray(modal_x.astype(np.uint8)))
 
     def _color_jitter(self, rgb, r, brightness=0.2, contrast=0.2,
                       saturation=0.2, hue=0.1):

@@ -86,8 +86,21 @@ def make_train_step(cfg: Config, state_sharding=None, batch_sharding=None):
     is GSPMD-partitioned: batch on 'data', params replicated."""
     loss_fn = make_loss_fn(cfg)
     base_key = jax.random.PRNGKey(cfg.train.seed)
+    mean = jnp.asarray(cfg.dataset.norm_mean, jnp.float32)
+    std = jnp.asarray(cfg.dataset.norm_std, jnp.float32)
+
+    def _prep(batch):
+        """uint8 batches normalise on device ((x/255 - mean)/std, reference
+        utils/transforms.py:182-187) — 3.4x less H2D than fp32 host batches.
+        fp32 batches pass through (host-normalised)."""
+        rgb, mx, label = batch["rgb"], batch["modal_x"], batch["label"]
+        if rgb.dtype == jnp.uint8:
+            rgb = (rgb.astype(jnp.float32) / 255.0 - mean) / std
+            mx = (mx.astype(jnp.float32) / 255.0 - mean) / std
+        return rgb, mx, label.astype(jnp.int32)
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        rgb_in, mx_in, label_in = _prep(batch)
         step_key = jax.random.fold_in(base_key, state.step)
         rngs = {"droppath": jax.random.fold_in(step_key, 0),
                 "dropout": jax.random.fold_in(step_key, 1)}
@@ -98,14 +111,14 @@ def make_train_step(cfg: Config, state_sharding=None, batch_sharding=None):
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
                 mutable = ["batch_stats"]
-            out = state.apply_fn(variables, batch["rgb"], batch["modal_x"],
+            out = state.apply_fn(variables, rgb_in, mx_in,
                                  True, rngs=rngs, mutable=mutable)
             if mutable:
                 outputs, new_vars = out
                 new_stats = new_vars["batch_stats"]
             else:
                 outputs, new_stats = out, state.batch_stats
-            loss = loss_fn(outputs, batch["label"])
+            loss = loss_fn(outputs, label_in)
             return loss, new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(
