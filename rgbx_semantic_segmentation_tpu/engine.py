@@ -97,6 +97,31 @@ class Engine:
         self.logger.info("resumed at epoch %d", next_epoch)
         return state, next_epoch
 
+    # -- preemption handling (new subsystem; reference has none, SURVEY §5:
+    #    "Failure detection / elastic recovery: none ... Recovery is manual") --
+    def install_preemption_handler(self, state_getter, epoch_getter=None,
+                                   reraise: bool = True):
+        """On SIGTERM/SIGINT, write a final checkpoint before exiting — TPU
+        preemptions give a grace window; the reference loses all progress since
+        the last cadence checkpoint (engine.py:157-163 just logs and exits).
+
+        With reraise=True the default signal disposition runs afterwards
+        (process exits); reraise=False just saves (used by tests)."""
+        import signal
+
+        def handler(signum, frame):
+            epoch = epoch_getter() if epoch_getter else -1
+            self.logger.warning(
+                "signal %d: writing preemption checkpoint (epoch %d)",
+                signum, epoch)
+            self.checkpoints.save(max(epoch, 0), state_getter())
+            if reraise:
+                signal.signal(signum, signal.SIG_DFL)
+                signal.raise_signal(signum)
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            signal.signal(sig, handler)
+
     # -- profiling (new subsystem; reference has none, SURVEY §5) -----------
     @contextlib.contextmanager
     def profile(self, name: str = "train") -> Iterator[None]:

@@ -80,3 +80,32 @@ def test_logger_levels(capsys):
     # stream handler writes to stderr by default
     captured = capsys.readouterr()
     assert "hello-info" in captured.err or "hello-info" in captured.out
+
+
+def test_preemption_handler_saves_checkpoint(tmp_path):
+    """SIGTERM triggers a final checkpoint before exit."""
+    import signal
+
+    from rgbx_semantic_segmentation_tpu.config import (
+        DatasetConfig, ModelConfig)
+    from rgbx_semantic_segmentation_tpu.engine import Engine
+    from rgbx_semantic_segmentation_tpu import train as train_lib
+
+    cfg = mfnet_config().replace(
+        dataset=DatasetConfig(num_classes=5, image_height=32, image_width=32,
+                              class_names=tuple("abcde")),
+        model=ModelConfig(backbone="mit_b0", decoder="MLPDecoder",
+                          decoder_embed_dim=64, use_mixed_precision=False),
+        train=TrainConfig(batch_size=8),
+        log_dir=str(tmp_path))
+    state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    with Engine(cfg) as engine:
+        engine.install_preemption_handler(lambda: state, lambda: 7,
+                                          reraise=False)
+        signal.raise_signal(signal.SIGTERM)
+        assert engine.checkpoints.latest_epoch() == 7
+        restored, next_epoch = engine.checkpoints.restore(state)
+        assert next_epoch == 8
+    # restore default handlers for the rest of the suite
+    signal.signal(signal.SIGINT, signal.default_int_handler)
+    signal.signal(signal.SIGTERM, signal.SIG_DFL)
