@@ -60,7 +60,7 @@ class SegEvaluator:
     """Whole-dataset sliding-window evaluator."""
 
     def __init__(self, cfg: Config, apply_fn, class_names=None,
-                 compat_double_normalize: bool = False):
+                 compat_double_normalize: bool = False, mesh=None):
         self.cfg = cfg
         self.crop = tuple(cfg.eval.eval_crop_size)
         self.stride_rate = cfg.eval.eval_stride_rate
@@ -72,6 +72,10 @@ class SegEvaluator:
         self.class_names = class_names or list(cfg.dataset.class_names)
         self.compat_double_normalize = compat_double_normalize
         self._apply_fn = apply_fn
+        # Optional device mesh: batched eval shards images across the 'data'
+        # axis — the reference's multi-GPU eval process fan-out
+        # (evaluator.py:117-163) becomes sharded batch inference on one mesh.
+        self._mesh = mesh
 
         def fwd(variables, rgb, modal_x):
             out = apply_fn(variables, rgb, modal_x, False)
@@ -87,6 +91,21 @@ class SegEvaluator:
             return jnp.exp(score)  # reference evaluator.py:393
 
         self._fwd = jax.jit(fwd)
+
+        def _shard(rgb, modal_x):
+            """Place a stacked window/image batch on the mesh ('data'-sharded)
+            when a mesh is configured and the batch divides evenly."""
+            if self._mesh is None:
+                return rgb, modal_x
+            from rgbx_semantic_segmentation_tpu.parallel.mesh import (
+                batch_sharding)
+            n = self._mesh.devices.size
+            if rgb.shape[0] % n != 0:
+                return rgb, modal_x
+            sh = batch_sharding(self._mesh)
+            return jax.device_put(rgb, sh), jax.device_put(modal_x, sh)
+
+        self._shard = _shard
 
         def fwd_argmax(variables, rgb, modal_x):
             # Device-side argmax: ships (B,H,W) int32 instead of (B,H,W,C)
@@ -228,8 +247,8 @@ class SegEvaluator:
                 img_n, mx_n = self._normalize_pair(item["rgb"], mx)
                 rgbs.append(img_n)
                 mxs.append(mx_n)
-            preds = np.asarray(self._fwd_argmax(variables, np.stack(rgbs),
-                                                np.stack(mxs)))
+            rgb_b, mx_b = self._shard(np.stack(rgbs), np.stack(mxs))
+            preds = np.asarray(self._fwd_argmax(variables, rgb_b, mx_b))
             return [preds[b] for b in range(B)]
         total = np.zeros((B, ori_h, ori_w, self.num_classes), np.float32)
         for s in self.scales:
@@ -248,8 +267,8 @@ class SegEvaluator:
                 rgbs.append(img_p)
                 mxs.append(mx_p)
                 margins = margin
-            scores = np.asarray(self._fwd(variables, np.stack(rgbs),
-                                          np.stack(mxs)))
+            rgb_b, mx_b = self._shard(np.stack(rgbs), np.stack(mxs))
+            scores = np.asarray(self._fwd(variables, rgb_b, mx_b))
             m = margins
             scores = scores[:, m[0]:scores.shape[1] - m[1],
                             m[2]:scores.shape[2] - m[3]]

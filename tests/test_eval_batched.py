@@ -50,3 +50,17 @@ def test_batched_multiscale_flip(setup):
     s1, _ = ev.evaluate(variables, val.dataset, eval_batch=1)
     s2, _ = ev.evaluate(variables, val.dataset, eval_batch=3)
     assert s1.mean_iou == pytest.approx(s2.mean_iou, abs=1e-6)
+
+
+def test_mesh_sharded_eval_matches(setup):
+    """Eval sharded over the 8-device mesh == single-device eval."""
+    from rgbx_semantic_segmentation_tpu.parallel.mesh import make_mesh
+
+    cfg, state, variables = setup
+    val = ValLoader(cfg)
+    ev1 = SegEvaluator(cfg, state.apply_fn)
+    s1, _ = ev1.evaluate(variables, val.dataset, eval_batch=4)
+    ev8 = SegEvaluator(cfg, state.apply_fn, mesh=make_mesh())
+    # 5 val images -> one full group of 4 (sharded when divisible) + remainder
+    s8, _ = ev8.evaluate(variables, val.dataset, eval_batch=4)
+    assert s1.mean_iou == pytest.approx(s8.mean_iou, abs=1e-6)
