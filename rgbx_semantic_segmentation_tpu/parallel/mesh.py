@@ -18,6 +18,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
 
 
 def make_mesh(devices: Optional[Sequence] = None,
@@ -28,6 +29,27 @@ def make_mesh(devices: Optional[Sequence] = None,
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def make_mesh_2d(data: int, spatial: int,
+                 devices: Optional[Sequence] = None) -> Mesh:
+    """2-D (data x spatial) mesh for large-image scaling: the batch shards on
+    'data' and the image height dimension shards on 'spatial'. Under jit,
+    GSPMD inserts the halo exchanges for convolutions and the gathers for
+    global attention automatically — verified exact against the 1-D layout
+    (tests/test_spatial_sharding.py). SURVEY §5 lists this as the additive
+    long-context mechanism beyond the reference's data-parallel-only story."""
+    if devices is None:
+        devices = jax.devices()
+    assert len(devices) >= data * spatial, (
+        f"need {data * spatial} devices, have {len(devices)}")
+    grid = np.asarray(devices[: data * spatial]).reshape(data, spatial)
+    return Mesh(grid, (DATA_AXIS, SPATIAL_AXIS))
+
+
+def spatial_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, H, ...) arrays: batch on 'data', height on 'spatial'."""
+    return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
 
 
 def make_mesh_for_batch(global_batch: int,

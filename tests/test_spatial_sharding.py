@@ -1,0 +1,48 @@
+"""2-D (data x spatial) sharding: the full train step under GSPMD with the image
+height dimension sharded must match the unsharded step (XLA inserts conv halo
+exchanges and attention gathers)."""
+import numpy as np
+import pytest
+import jax
+
+from rgbx_semantic_segmentation_tpu.config import (
+    DatasetConfig, ModelConfig, TrainConfig, mfnet_config)
+from rgbx_semantic_segmentation_tpu import train as train_lib
+from rgbx_semantic_segmentation_tpu.parallel import mesh as mesh_lib
+
+
+def _cfg():
+    return mfnet_config().replace(
+        dataset=DatasetConfig(num_classes=5, image_height=64, image_width=64,
+                              class_names=tuple("abcde")),
+        model=ModelConfig(backbone="mit_b0", decoder="MLPDecoder",
+                          decoder_embed_dim=64, use_mixed_precision=False,
+                          drop_path_rate=0.0),
+        train=TrainConfig(batch_size=4, warm_up_epoch=0, nepochs=1,
+                          niters_per_epoch=2, lr=1e-3))
+
+
+def test_2d_sharded_step_matches_unsharded():
+    cfg = _cfg()
+    step = train_lib.make_train_step(cfg)
+    rng = np.random.RandomState(0)
+    batch = {"rgb": rng.randn(4, 64, 64, 3).astype(np.float32),
+             "modal_x": rng.randn(4, 64, 64, 3).astype(np.float32),
+             "label": rng.randint(0, 5, (4, 64, 64)).astype(np.int32)}
+
+    s_ref, m_ref = step(train_lib.create_train_state(
+        cfg, jax.random.PRNGKey(0)), batch)
+
+    mesh = mesh_lib.make_mesh_2d(data=2, spatial=4)
+    sh = mesh_lib.spatial_batch_sharding(mesh)
+    batch_sh = {k: jax.device_put(v, sh) for k, v in batch.items()}
+    state2 = mesh_lib.replicate(mesh, train_lib.create_train_state(
+        cfg, jax.random.PRNGKey(0)))
+    s2, m2 = step(state2, batch_sh)
+
+    assert float(m_ref["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+    pa = jax.tree_util.tree_leaves(s_ref.params)
+    pb = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(pa, pb):
+        # fp32 cross-device reduction order differences only
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
