@@ -158,6 +158,29 @@ def hsv_to_bgr_u8(hsv: np.ndarray) -> np.ndarray:
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
 
+def hsv_jitter(bgr: np.ndarray, bf: float, sf: float,
+               hue_shift: float) -> np.ndarray:
+    """Fused BGR->HSV jitter->BGR (V*=bf, S*=sf, H+=hue_shift, cv2 uint8
+    conventions; reference dataloader.py:33-54). Native one-pass kernel when
+    built; numpy two-conversion fallback otherwise."""
+    nat = _native()
+    if nat is not None and bgr.dtype == np.uint8 and bgr.ndim == 3 \
+            and bgr.shape[2] == 3:
+        src = np.ascontiguousarray(bgr)
+        dst = np.empty_like(src)
+        nat.hsv_jitter_u8(_cptr(src, ctypes.c_uint8), bgr.shape[0],
+                          bgr.shape[1], ctypes.c_float(bf), ctypes.c_float(sf),
+                          ctypes.c_float(hue_shift),
+                          _cptr(dst, ctypes.c_uint8))
+        return dst
+    hsv = bgr_to_hsv_u8(bgr).astype(np.float32)
+    hsv[:, :, 2] *= bf
+    hsv[:, :, 1] *= sf
+    hsv[:, :, 0] += hue_shift
+    hsv = np.clip(hsv, 0, 255)
+    return hsv_to_bgr_u8(hsv.astype(np.uint8))
+
+
 def _gaussian_kernel_1d(ksize: int, sigma: float) -> np.ndarray:
     """cv2.getGaussianKernel: normalised exp(-(i-c)^2 / (2 sigma^2))."""
     if sigma <= 0:

@@ -99,12 +99,10 @@ class TrainPre:
 
     def _color_jitter(self, rgb, r, brightness=0.2, contrast=0.2,
                       saturation=0.2, hue=0.1):
-        hsv = cv_ops.bgr_to_hsv_u8(rgb).astype(np.float32)
-        hsv[:, :, 2] *= 1.0 + r.uniform(-brightness, brightness)
-        hsv[:, :, 1] *= 1.0 + r.uniform(-saturation, saturation)
-        hsv[:, :, 0] += r.uniform(-hue, hue) * 180.0
-        hsv = np.clip(hsv, 0, 255)
-        return cv_ops.hsv_to_bgr_u8(hsv.astype(np.uint8))
+        bf = 1.0 + r.uniform(-brightness, brightness)
+        sf = 1.0 + r.uniform(-saturation, saturation)
+        hs = r.uniform(-hue, hue) * 180.0
+        return cv_ops.hsv_jitter(rgb, bf, sf, hs)
 
     def _cutout(self, rgb, gt, modal_x, r, mask_size=25):
         if r.rand() > self.cutout_p:

@@ -64,7 +64,14 @@ class Engine:
             # engine.py:55-56). On single-host this is a no-op.
             jax.distributed.initialize()
         from rgbx_semantic_segmentation_tpu.parallel import mesh as mesh_lib
-        self.mesh = mesh_lib.make_mesh_for_batch(cfg.train.batch_size)
+        devices = None
+        dev_spec = getattr(args, "devices", "") if args else ""
+        if dev_spec:
+            from rgbx_semantic_segmentation_tpu.utils.fs import parse_devices
+            all_devices = jax.devices()
+            devices = [all_devices[i] for i in parse_devices(dev_spec)]
+        self.mesh = mesh_lib.make_mesh_for_batch(cfg.train.batch_size,
+                                                 devices=devices)
         ckpt_dir = os.path.join(cfg.log_dir, cfg.tag(), "checkpoint")
         self.checkpoints = CheckpointManager(ckpt_dir)
         self._profile_dir = getattr(args, "profile_dir", None) if args else None

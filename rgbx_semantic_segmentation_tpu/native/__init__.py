@@ -36,6 +36,8 @@ def lib() -> Optional[ctypes.CDLL]:
     cdll.resize_nearest_u8.argtypes = [u8, i, i, i, u8, i, i]
     cdll.normalize_u8.argtypes = [u8, i, i, i, f32, f32, f32]
     cdll.gaussian_blur_u8.argtypes = [u8, i, i, i, f32, i, u8]
+    cdll.hsv_jitter_u8.argtypes = [u8, i, i, ctypes.c_float, ctypes.c_float,
+                                   ctypes.c_float, u8]
     _lib = cdll
     return _lib
 

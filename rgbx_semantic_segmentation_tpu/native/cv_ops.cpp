@@ -185,4 +185,68 @@ void gaussian_blur_u8(const uint8_t* src, int h, int w, int ch,
   delete[] tmp;
 }
 
+// ---------------------------------------------------------------------------
+// Fused HSV color jitter: BGR -> HSV (cv2 uint8 conventions, H in [0,180)),
+// V *= bf, S *= sf, H += hue_shift, clip, HSV -> BGR — one pass per pixel
+// (replaces two full-image conversions + intermediates,
+// reference dataloader.py:33-54).
+// ---------------------------------------------------------------------------
+void hsv_jitter_u8(const uint8_t* src, int h, int w,
+                   float bf, float sf, float hue_shift, uint8_t* dst) {
+#pragma omp parallel for schedule(static)
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* row = src + static_cast<int64_t>(y) * w * 3;
+    uint8_t* out = dst + static_cast<int64_t>(y) * w * 3;
+    for (int x = 0; x < w; ++x) {
+      const float b = row[x * 3 + 0];
+      const float g = row[x * 3 + 1];
+      const float r = row[x * 3 + 2];
+      const float v = std::max(b, std::max(g, r));
+      const float mn = std::min(b, std::min(g, r));
+      const float diff = v - mn;
+      float s = v > 0.f ? diff / v * 255.f : 0.f;
+      float hdeg = 0.f;
+      if (diff > 0.f) {
+        if (v == r) hdeg = 60.f * (g - b) / diff;
+        else if (v == g) hdeg = 120.f + 60.f * (b - r) / diff;
+        else hdeg = 240.f + 60.f * (r - g) / diff;
+        if (hdeg < 0.f) hdeg += 360.f;
+      }
+      float hh = hdeg / 2.f;
+      // jitter + clip to the cv2 uint8 HSV ranges (then uint8 round like the
+      // numpy path's astype(np.uint8) after clip)
+      float vj = std::min(255.f, std::max(0.f, v * bf));
+      float sj = std::min(255.f, std::max(0.f, s * sf));
+      float hj = std::min(255.f, std::max(0.f, hh + hue_shift));
+      // match numpy: hsv cast to uint8 (truncation) before converting back
+      vj = static_cast<float>(static_cast<uint8_t>(vj));
+      sj = static_cast<float>(static_cast<uint8_t>(sj));
+      hj = static_cast<float>(static_cast<uint8_t>(hj));
+      // HSV -> BGR (cv2 conventions)
+      const float hd = hj * 2.f;
+      const float sn = sj / 255.f;
+      const int hi = static_cast<int>(std::floor(hd / 60.f)) % 6;
+      const float f = hd / 60.f - std::floor(hd / 60.f);
+      const float p = vj * (1.f - sn);
+      const float q = vj * (1.f - f * sn);
+      const float t = vj * (1.f - (1.f - f) * sn);
+      float rb = 0, gb = 0, bb = 0;
+      switch (hi) {
+        case 0: rb = vj; gb = t; bb = p; break;
+        case 1: rb = q; gb = vj; bb = p; break;
+        case 2: rb = p; gb = vj; bb = t; break;
+        case 3: rb = p; gb = q; bb = vj; break;
+        case 4: rb = t; gb = p; bb = vj; break;
+        default: rb = vj; gb = p; bb = q; break;
+      }
+      out[x * 3 + 0] = static_cast<uint8_t>(
+          std::min(255.f, std::max(0.f, std::nearbyint(bb))));
+      out[x * 3 + 1] = static_cast<uint8_t>(
+          std::min(255.f, std::max(0.f, std::nearbyint(gb))));
+      out[x * 3 + 2] = static_cast<uint8_t>(
+          std::min(255.f, std::max(0.f, std::nearbyint(rb))));
+    }
+  }
+}
+
 }  // extern "C"

@@ -26,6 +26,8 @@ def main():
     parser.add_argument("--lr", type=float, default=None)
     parser.add_argument("--pretrained", default=None,
                         help=".pth single-tower backbone checkpoint to convert")
+    parser.add_argument("-d", "--devices", default="",
+                        help="device selection, e.g. '0,2-5' or '*'")
     parser.add_argument("-c", "--continue", dest="resume", action="store_true")
     parser.add_argument("-p", "--profile_dir", default=None)
     args = parser.parse_args()
