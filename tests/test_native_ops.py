@@ -96,3 +96,11 @@ def test_native_speedup(nat):
     numpy_t = time.perf_counter() - t0
     # informational bound: native should not be slower
     assert native_t < numpy_t * 1.5, (native_t, numpy_t)
+
+
+def test_hsv_jitter_matches_numpy(nat):
+    rng = np.random.RandomState(7)
+    bgr = rng.randint(0, 255, (48, 64, 3), np.uint8)
+    got = cv_ops.hsv_jitter(bgr, 1.1, 0.9, 10.0)
+    ref = _numpy_only(cv_ops.hsv_jitter, bgr, 1.1, 0.9, 10.0)
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
