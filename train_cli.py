@@ -19,6 +19,10 @@ def main():
     parser.add_argument("--config", default="mfnet",
                         help="preset name: mfnet | pst900 | nyu")
     parser.add_argument("--dataset_root", default=None)
+    parser.add_argument("--train_source", default=None,
+                        help="override split file, e.g. train.txt")
+    parser.add_argument("--eval_source", default=None,
+                        help="override eval split file, e.g. test.txt")
     parser.add_argument("--backbone", default=None)
     parser.add_argument("--decoder", default=None)
     parser.add_argument("--epochs", type=int, default=None)
@@ -44,7 +48,17 @@ def main():
     from rgbx_semantic_segmentation_tpu.metrics_writer import MetricsWriter
     from rgbx_semantic_segmentation_tpu.parallel import mesh as mesh_lib
 
-    cfg = get_config(args.config)
+    try:
+        cfg = get_config(args.config)
+    except KeyError as e:
+        raise SystemExit(f"error: {e.args[0]}")
+    if args.train_source or args.eval_source:
+        ds_kw = {}
+        if args.train_source:
+            ds_kw["train_source"] = args.train_source
+        if args.eval_source:
+            ds_kw["eval_source"] = args.eval_source
+        cfg = cfg.replace(dataset=dataclasses.replace(cfg.dataset, **ds_kw))
     model_kw = {}
     if args.backbone:
         model_kw["backbone"] = args.backbone
