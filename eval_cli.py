@@ -24,10 +24,18 @@ def main():
     parser.add_argument("--backbone", default=None)
     parser.add_argument("--decoder", default=None)
     parser.add_argument("-e", "--epochs", default="last",
-                        help="'last' | '300' | '250-400' | '250-'")
+                        help="'last' | '300' | '250-400' | '250-' | a direct "
+                             "checkpoint path (reference evaluator.py:42-81)")
     parser.add_argument("--checkpoint_dir", default=None)
     parser.add_argument("--save_path", "-p", default=None,
                         help="dump raw + palettised prediction PNGs here")
+    parser.add_argument("-s", "--show_image", action="store_true",
+                        help="save [img|pred|gt] composites (reference "
+                             "eval.py:57-65's cv2.imshow view, as files)")
+    parser.add_argument("--eval_batch", type=int, default=8,
+                        help="images per batched device forward when the eval "
+                             "protocol is whole-image (sliding-window images "
+                             "fall back per-image); 1 disables batching")
     parser.add_argument("--val_log", default=None)
     args = parser.parse_args()
 
@@ -63,16 +71,43 @@ def main():
         cfg = cfg.replace(model=dataclasses.replace(cfg.model, **model_kw))
 
     logger = get_logger()
-    ckpt_dir = args.checkpoint_dir or os.path.join(
-        cfg.log_dir, cfg.tag(), "checkpoint")
     state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
-    mgr = CheckpointManager(ckpt_dir)
-    epochs = parse_epoch_spec(args.epochs, mgr.all_epochs())
+
+    # -e accepts a direct checkpoint path (reference evaluator.py:42-81's
+    # `-e file.pth` form): either an epoch-numbered Orbax step dir or a
+    # checkpoint dir (evaluates its latest epoch).
+    if os.path.exists(args.epochs):
+        path = os.path.abspath(args.epochs.rstrip("/"))
+        base = os.path.basename(path)
+        if base.isdigit():
+            ckpt_dir = os.path.dirname(path)
+            mgr = CheckpointManager(ckpt_dir)
+            epochs = [int(base)]
+        else:
+            ckpt_dir = path
+            mgr = CheckpointManager(ckpt_dir)
+            epochs = [mgr.latest_epoch()]
+        if epochs[0] is None:
+            raise SystemExit(f"no checkpoints under {path}")
+    else:
+        ckpt_dir = args.checkpoint_dir or os.path.join(
+            cfg.log_dir, cfg.tag(), "checkpoint")
+        mgr = CheckpointManager(ckpt_dir)
+        epochs = parse_epoch_spec(args.epochs, mgr.all_epochs())
     if not epochs:
         raise SystemExit(f"no checkpoints matching {args.epochs!r} in {ckpt_dir}")
 
     val = ValLoader(cfg, root=args.dataset_root)
-    evaluator = SegEvaluator(cfg, state.apply_fn)
+    # Batched eval shards stacked images across the mesh's data axis — the
+    # reference's multi-GPU eval process fan-out (evaluator.py:117-163) as
+    # sharded batch inference.
+    from rgbx_semantic_segmentation_tpu.parallel import mesh as mesh_lib
+    mesh = mesh_lib.make_mesh()
+    evaluator = SegEvaluator(cfg, state.apply_fn, mesh=mesh)
+    show_dir = None
+    if args.show_image:
+        show_dir = (args.save_path or os.path.join(
+            cfg.log_dir, cfg.tag(), "preds")) + "_compare"
     val_log = args.val_log or os.path.join(cfg.log_dir, cfg.tag(),
                                            "val_last.log")
     os.makedirs(os.path.dirname(val_log), exist_ok=True)
@@ -81,9 +116,14 @@ def main():
         variables = {"params": st.params}
         if st.batch_stats:
             variables["batch_stats"] = st.batch_stats
+        # Params restore onto the host CPU (create_train_state inits there);
+        # the batched eval shards images onto the mesh — co-locate.
+        variables = mesh_lib.replicate(mesh, variables)
         scores, line = evaluator.evaluate(variables, val.dataset,
                                           save_path=args.save_path,
-                                          logger=logger)
+                                          logger=logger,
+                                          eval_batch=args.eval_batch,
+                                          show_image_dir=show_dir)
         header = f"======= epoch {epoch} ======="
         logger.info("\n%s\n%s", header, line)
         with open(val_log, "a") as f:

@@ -53,6 +53,9 @@ class ModelConfig:
     pretrained_model: Optional[str] = None
     decoder: str = "MLPDecoder"
     decoder_embed_dim: int = 512
+    # Head dropout (reference MLPDecoder.__init__ dropout_ratio=0.1); None
+    # keeps each decoder's reference default.
+    decoder_dropout_ratio: Optional[float] = None
     # Fusion module selection (reference config.py:57-58).
     feature_rectify_module: str = "FRM"  # FRM | IFRM
     feature_fusion_module: str = "FFM"   # FFM | IFFM
@@ -94,6 +97,21 @@ class TrainConfig:
     lr_power: float = 0.9
     momentum: float = 0.9
     weight_decay: float = 0.01
+    # LR schedule selection (reference utils/lr_policy.py:19-107; the reference
+    # hardcodes WarmUpPolyLR in train.py:138-139 — the other 6 schedules exist
+    # but have no config knob there; all 7 are selectable here).
+    lr_policy: str = "WarmUpPolyLR"   # WarmUpPolyLR | PolyLR | MultiStageLR |
+    #                                   LinearIncreaseLR | CyclicLR | StepLR
+    lr_stages: Sequence[Tuple[int, float]] = ()  # MultiStageLR [(epoch, lr), ...]
+    end_lr: float = 1e-4              # LinearIncreaseLR target
+    min_lr: float = 1e-6              # CyclicLR floor (max = lr)
+    cycle_epochs: int = 50            # CyclicLR restart period
+    lr_step_size: int = 50            # StepLR epoch period
+    lr_gamma: float = 0.5             # StepLR decay factor
+    # OHEM knobs (reference loss_opr.py:205-215 exposes thresh/min_kept
+    # per-config).
+    ohem_thresh: float = 0.6
+    ohem_min_kept: int = 256
     batch_size: int = 8
     nepochs: int = 200
     niters_per_epoch: int = 148       # num_train_imgs // batch_size + 1

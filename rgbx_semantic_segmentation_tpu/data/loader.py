@@ -37,6 +37,7 @@ class TrainLoader:
                  prefetch: int = 4, device_normalize: bool = True):
         self.cfg = cfg
         seed = cfg.train.seed if seed is None else seed
+        self.seed = seed
         self._rng = np.random.RandomState(seed)
         self.device_normalize = device_normalize
         pre = TrainPre(
@@ -59,8 +60,12 @@ class TrainLoader:
     def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         """Yield `niters` batches for one epoch."""
         self.dataset.set_epoch(epoch)
+        # Deterministic per-(seed, epoch) batch order: the config seed folds in
+        # so two runs with different seeds see different batch orders, like the
+        # reference's set_epoch'd DistributedSampler (dataloader.py:153-156).
         order = np.random.RandomState(
-            (999983 * (epoch + 1) + 42) % (2 ** 31)).permutation(len(self.dataset))
+            (999983 * (epoch + 1) + self.seed) % (2 ** 31)).permutation(
+            len(self.dataset))
         n_batches = self.niters
         idx_batches = [order[i * self.batch_size:(i + 1) * self.batch_size]
                        for i in range(n_batches)]

@@ -106,28 +106,48 @@ class Engine:
 
     # -- preemption handling (new subsystem; reference has none, SURVEY §5:
     #    "Failure detection / elastic recovery: none ... Recovery is manual") --
-    def install_preemption_handler(self, state_getter, epoch_getter=None,
-                                   reraise: bool = True):
-        """On SIGTERM/SIGINT, write a final checkpoint before exiting — TPU
-        preemptions give a grace window; the reference loses all progress since
-        the last cadence checkpoint (engine.py:157-163 just logs and exits).
+    def install_preemption_handler(self):
+        """On SIGTERM/SIGINT, request a graceful stop — TPU preemptions give a
+        grace window; the reference loses all progress since the last cadence
+        checkpoint (engine.py:157-163 just logs and exits).
 
-        With reraise=True the default signal disposition runs afterwards
-        (process exits); reraise=False just saves (used by tests)."""
+        The handler only records the signal (running Orbax save inside a signal
+        handler is re-entrancy-unsafe: a signal landing mid-save would leave the
+        manager state undefined); the train loop polls `preempted` each
+        iteration and calls `drain_preemption` to save from normal context."""
         import signal
 
         def handler(signum, frame):
-            epoch = epoch_getter() if epoch_getter else -1
+            self._preempt_signum = signum
             self.logger.warning(
-                "signal %d: writing preemption checkpoint (epoch %d)",
-                signum, epoch)
-            self.checkpoints.save(max(epoch, 0), state_getter())
-            if reraise:
-                signal.signal(signum, signal.SIG_DFL)
-                signal.raise_signal(signum)
+                "signal %d: preemption checkpoint queued (will save from the "
+                "train loop)", signum)
 
+        self._preempt_signum = None
         for sig in (signal.SIGTERM, signal.SIGINT):
             signal.signal(sig, handler)
+
+    @property
+    def preempted(self) -> bool:
+        return getattr(self, "_preempt_signum", None) is not None
+
+    def drain_preemption(self, epoch: int, state, reraise: bool = True) -> bool:
+        """If a stop signal arrived, checkpoint `state` and (by default) re-raise
+        the signal with its default disposition so the process exits with the
+        conventional status. Returns True when a preemption was handled."""
+        import signal
+
+        signum = getattr(self, "_preempt_signum", None)
+        if signum is None:
+            return False
+        self.logger.warning(
+            "signal %d: writing preemption checkpoint (epoch %d)", signum, epoch)
+        self.checkpoints.save(max(epoch, 0), state)
+        self._preempt_signum = None
+        if reraise:
+            signal.signal(signum, signal.SIG_DFL)
+            signal.raise_signal(signum)
+        return True
 
     # -- profiling (new subsystem; reference has none, SURVEY §5) -----------
     @contextlib.contextmanager

@@ -174,23 +174,32 @@ class SegEvaluator:
     # ----------------------------------------------------------------- run --
 
     def evaluate(self, variables, dataset, save_path: Optional[str] = None,
-                 logger=None, eval_batch: int = 1) -> Tuple[metrics_lib.Scores, str]:
+                 logger=None, eval_batch: int = 1,
+                 show_image_dir: Optional[str] = None
+                 ) -> Tuple[metrics_lib.Scores, str]:
         """Evaluate a whole dataset; returns (scores, formatted result line)
         (reference eval.py:23-83).
 
-        With eval_batch > 1, images whose every eval scale fits in one crop are
-        grouped into batched forwards (one jit signature per scale) — the
-        common whole-image case (e.g. MFNet 480x640 at scale 1.0) runs
-        eval_batch images per device dispatch instead of the reference's
-        one-window-at-a-time loop (evaluator.py:345-364).
+        With eval_batch > 1, consecutive images whose every eval scale fits in
+        one crop are grouped into batched forwards (one jit signature per
+        scale) — the common whole-image case (e.g. MFNet 480x640 at scale 1.0)
+        runs eval_batch images per device dispatch instead of the reference's
+        one-window-at-a-time loop (evaluator.py:345-364). Images that need the
+        sliding grid fall back per-image transparently.
+
+        show_image_dir saves [img | pred | gt] composites there (the
+        reference's interactive `-s` cv2.imshow view, eval.py:57-65, as files).
         """
         hist = np.zeros((self.num_classes, self.num_classes), np.int64)
         correct = 0
         labeled = 0
         t0 = time.time()
+        n = len(dataset)
+        done = 0
+        last_log = 0
 
         def account(pred, item):
-            nonlocal hist, correct, labeled
+            nonlocal hist, correct, labeled, done, last_log
             h, l, c = metrics_lib.hist_info(self.num_classes, pred,
                                             np.asarray(item["label"]))
             hist += h
@@ -198,30 +207,42 @@ class SegEvaluator:
             correct += c
             if save_path is not None:
                 self._save_prediction(pred, item["fn"], save_path)
-
-        n = len(dataset)
-        done = 0
-        i = 0
-        while i < n:
-            if eval_batch > 1:
-                group = [dataset[j] for j in range(i, min(i + eval_batch, n))]
-                shapes = {g["rgb"].shape for g in group}
-                if len(shapes) == 1 and self._one_shot_all_scales(group[0]):
-                    preds = self._batched_whole_image(variables, group)
-                    for item, pred in zip(group, preds):
-                        account(pred, item)
-                    i += len(group)
-                    done += len(group)
-                    continue
-            item = dataset[i]
-            pred = self.sliding_eval_rgbx(variables, item["rgb"],
-                                          item["modal_x"])
-            account(pred, item)
-            i += 1
+            if show_image_dir is not None:
+                self._save_composite(pred, item, show_image_dir)
             done += 1
-            if logger is not None and done % 25 == 0:
+            if logger is not None and done - last_log >= 25:
+                last_log = done
                 logger.info("eval %d/%d (%.2f img/s)", done, n,
                             done / (time.time() - t0))
+
+        buf: List[dict] = []
+
+        def flush():
+            nonlocal buf
+            if not buf:
+                return
+            preds = self._batched_whole_image(variables, buf)
+            for item, pred in zip(buf, preds):
+                account(pred, item)
+            buf = []
+
+        for i in range(n):
+            item = dataset[i]
+            if eval_batch > 1 and self._one_shot_all_scales(item):
+                if buf and buf[0]["rgb"].shape != item["rgb"].shape:
+                    flush()
+                buf.append(item)
+                if len(buf) == eval_batch:
+                    flush()
+            else:
+                flush()
+                pred = self.sliding_eval_rgbx(variables, item["rgb"],
+                                              item["modal_x"])
+                account(pred, item)
+        flush()
+        if logger is not None:
+            logger.info("eval %d/%d done (%.2f img/s)", done, n,
+                        done / max(time.time() - t0, 1e-9))
         scores = metrics_lib.compute_score(hist, correct, labeled)
         line = metrics_lib.print_iou(scores, self.class_names)
         return scores, line
@@ -275,6 +296,24 @@ class SegEvaluator:
             for b in range(B):
                 total[b] += cv_ops.resize_linear(scores[b], (ori_h, ori_w))
         return [total[b].argmax(axis=-1) for b in range(B)]
+
+    def _save_composite(self, pred: np.ndarray, item: dict, out_dir: str):
+        """[raw image | prediction | gt] composite (the reference's
+        `-s/--show_image` cv2.imshow view, eval.py:57-65, saved to disk)."""
+        import os
+
+        from PIL import Image
+
+        from rgbx_semantic_segmentation_tpu import visualize
+        from rgbx_semantic_segmentation_tpu.data.dataset import RGBXDataset
+
+        colors = RGBXDataset.get_class_colors(self.cfg.dataset.dataset_name)
+        comp = visualize.show_img(colors, self.cfg.dataset.background,
+                                  item["rgb"], None, np.asarray(item["label"]),
+                                  pred)
+        os.makedirs(out_dir, exist_ok=True)
+        Image.fromarray(comp.astype(np.uint8)).save(
+            os.path.join(out_dir, str(item["fn"]) + ".png"))
 
     def _save_prediction(self, pred: np.ndarray, name: str, save_path: str):
         """Palettised + raw PNG dumps (reference eval.py:38-55)."""

@@ -399,7 +399,9 @@ def build_criterion(cfg):
     if name == "FocalLoss2d":
         return functools.partial(focal_loss_2d, ignore_index=ignore)
     if name == "OhemCrossEntropy":
-        return functools.partial(prob_ohem_cross_entropy, ignore_index=ignore)
+        return functools.partial(prob_ohem_cross_entropy, ignore_index=ignore,
+                                 thresh=cfg.train.ohem_thresh,
+                                 min_kept=cfg.train.ohem_min_kept)
     if name == "TopologyAwareLoss":
         def combined(logits, labels):
             return (cross_entropy_loss(logits, labels, ignore_index=ignore)

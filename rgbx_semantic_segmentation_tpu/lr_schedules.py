@@ -121,10 +121,41 @@ def step_lr(start_lr: float, step_size: int, gamma: float) -> Schedule:
     return schedule
 
 
+def _by_epoch(inner: Schedule, iters_per_epoch: int) -> Schedule:
+    """Adapt an epoch-keyed reference schedule (MultiStageLR / LinearIncreaseLR /
+    StepLR take `cur_epoch`, lr_policy.py:50,63,106) to the step-keyed optax
+    convention."""
+
+    def schedule(step):
+        return inner(jnp.asarray(step, jnp.float32) // iters_per_epoch)
+
+    return schedule
+
+
 def build_schedule(name: str, cfg) -> Schedule:
-    """Build the training schedule from a `TrainConfig`."""
+    """Build any of the 7 reference schedules (utils/lr_policy.py:19-107) from a
+    `TrainConfig`. For CyclicLR this returns the lr half; the paired momentum
+    schedule is wired by optim.build_optimizer via optax.inject_hyperparams."""
     if name == "WarmUpPolyLR":
         return warmup_poly_lr(cfg.lr, cfg.lr_power, cfg.total_iters, cfg.warmup_iters)
     if name == "PolyLR":
         return poly_lr(cfg.lr, cfg.lr_power, cfg.total_iters)
+    if name == "MultiStageLR":
+        if not cfg.lr_stages:
+            raise ValueError("lr_policy=MultiStageLR needs cfg.train.lr_stages "
+                             "[(boundary_epoch, lr), ...]")
+        return _by_epoch(multi_stage_lr(cfg.lr_stages), cfg.niters_per_epoch)
+    if name == "LinearIncreaseLR":
+        # Reference keys get_lr by epoch and divides the delta by `warm_iters`;
+        # warm_iters is passed nepochs by intent (lr_policy.py:57-65).
+        return _by_epoch(linear_increase_lr(cfg.lr, cfg.end_lr, cfg.nepochs),
+                         cfg.niters_per_epoch)
+    if name == "CyclicLR":
+        lr_sched, _ = cyclic_lr(cfg.min_lr, cfg.lr, cfg.cycle_epochs,
+                                cfg.warm_up_epoch, cfg.total_iters,
+                                cfg.niters_per_epoch)
+        return lr_sched
+    if name == "StepLR":
+        return _by_epoch(step_lr(cfg.lr, cfg.lr_step_size, cfg.lr_gamma),
+                         cfg.niters_per_epoch)
     raise KeyError(f"unknown schedule {name!r}")

@@ -114,12 +114,14 @@ def build_backbone(cfg: Config, dtype=None) -> Tuple[nn.Module, Sequence[int]]:
 def build_decoder(cfg: Config, channels: Sequence[int], dtype=None) -> nn.Module:
     name = cfg.model.decoder
     num_classes = cfg.dataset.num_classes
+    drop_kw = ({} if cfg.model.decoder_dropout_ratio is None
+               else {"dropout_ratio": cfg.model.decoder_dropout_ratio})
     if name == "MLPDecoder":
         return MLPDecoder(num_classes=num_classes,
                           embed_dim=cfg.model.decoder_embed_dim,
                           bn_eps=cfg.model.bn_eps,
                           bn_momentum=cfg.model.bn_momentum,
-                          dtype=dtype, name="decode_head")
+                          dtype=dtype, name="decode_head", **drop_kw)
     if name == "MLPDecoderpp":
         from rgbx_semantic_segmentation_tpu.models.decoders.mlp_decoderpp import (
             MLPDecoderpp)
@@ -127,7 +129,7 @@ def build_decoder(cfg: Config, channels: Sequence[int], dtype=None) -> nn.Module
                             embed_dim=cfg.model.decoder_embed_dim,
                             bn_eps=cfg.model.bn_eps,
                             bn_momentum=cfg.model.bn_momentum,
-                            dtype=dtype, name="decode_head")
+                            dtype=dtype, name="decode_head", **drop_kw)
     if name == "UPernet":
         from rgbx_semantic_segmentation_tpu.models.decoders.upernet import UPerHead
         return UPerHead(in_channels=tuple(channels), num_classes=num_classes,
@@ -187,7 +189,21 @@ class EncoderDecoder(nn.Module):
         feats = self.backbone_mod(rgb, modal_x, train)
         out = self.decode_head_mod(feats, train)
         if isinstance(out, dict):  # mask2former path (reference builder.py:217-230)
-            return out
+            if train:
+                # Reference upsamples pred_masks to the input resolution before
+                # the loss (builder.py:219-221). It also sigmoids them there AND
+                # the loss sigmoids again (a double-sigmoid quirk) — here masks
+                # stay logits; losses.mask2former_loss applies sigmoid once.
+                masks = out["pred_masks"].transpose(0, 2, 3, 1)
+                masks = resize_bilinear(masks, orisize).transpose(0, 3, 1, 2)
+                return {"pred_logits": out["pred_logits"], "pred_masks": masks}
+            # Eval: compose query masks x class probs into per-pixel scores
+            # (the reference has no eval consumer for this dict — gap closed,
+            # see decoders/mask2former.semantic_inference).
+            from rgbx_semantic_segmentation_tpu.models.decoders.mask2former import (
+                semantic_inference)
+            sem = semantic_inference(out["pred_logits"], out["pred_masks"])
+            return resize_bilinear(sem, orisize)
         logits = resize_bilinear(out, orisize)
         if self.aux_head_mod is not None:
             aux = self.aux_head_mod(feats, train)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -160,3 +161,22 @@ class Mask2Former(nn.Module):
         masks = masks.reshape(B, self.num_queries, Hm, Wm)
         return {"pred_logits": logits.astype(jnp.float32),
                 "pred_masks": masks.astype(jnp.float32)}
+
+
+def semantic_inference(pred_logits: jnp.ndarray,
+                       pred_masks: jnp.ndarray) -> jnp.ndarray:
+    """Compose query predictions into per-pixel class scores (MaskFormer-style
+    semantic inference): sem[b,h,w,c] = sum_q softmax(logits)[b,q,c] *
+    sigmoid(masks)[b,q,h,w], dropping the no-object class.
+
+    The reference never implemented an eval consumer for the mask2former dict
+    (builder.py:217-230 returns it, eval.py would crash on it) — this closes
+    that gap. Returns LOG of the composed probability, shaped (B, H, W, C),
+    so the evaluator's exp-and-sum window accumulation (evaluator.py:393)
+    averages probabilities across windows/scales.
+    """
+    probs = jax.nn.softmax(pred_logits.astype(jnp.float32), axis=-1)[..., :-1]
+    masks = jax.nn.sigmoid(pred_masks.astype(jnp.float32))
+    sem = jnp.einsum("bqc,bqhw->bhwc", probs, masks,
+                     preferred_element_type=jnp.float32)
+    return jnp.log(sem + 1e-8)

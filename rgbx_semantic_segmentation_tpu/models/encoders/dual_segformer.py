@@ -26,6 +26,9 @@ from flax import linen as nn
 from rgbx_semantic_segmentation_tpu.models import fusion
 from rgbx_semantic_segmentation_tpu.ops import layers as L
 from rgbx_semantic_segmentation_tpu.ops.attention import multi_head_attention
+from rgbx_semantic_segmentation_tpu.ops.sharding import axis_size, constrain
+
+DATA, SPATIAL = "data", "spatial"  # mesh axis names (parallel/mesh.py)
 
 Dtype = Any
 
@@ -86,24 +89,42 @@ class Attention(nn.Module):
         h = self.num_heads
         d = C // h
         scale = d ** -0.5
+        # Sharding pins (2-D data x spatial mesh; no-ops otherwise): when the
+        # token-grid rows divide the 'spatial' axis, queries/tokens shard along
+        # N and the SR-downsampled kv tokens (N/r^2, small) replicate across
+        # 'spatial' — without the pins GSPMD falls back to involuntary full
+        # rematerialization on the backward reshapes (VERDICT r1 #7). Stages
+        # whose H doesn't divide stay unconstrained (replicated rows).
+        sp = axis_size(SPATIAL)
+        M_est = ((H // self.sr_ratio) * (W // self.sr_ratio)
+                 if self.sr_ratio > 1 else N)
+        # Shard tokens only when the rows divide AND the kv side is big enough
+        # to absorb the backward reduce-scatter (M >= spatial axis); otherwise
+        # force replication — degenerate-M stages (tiny dry-run grids) trip the
+        # partitioner's reduce-scatter onto size-1 dims.
+        rows_ok = sp is not None and H % sp == 0 and M_est >= sp
+        n_spec = SPATIAL if rows_ok else None
         q = L.dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
                     name="q")(x).reshape(B, N, h, d).transpose(0, 2, 1, 3)
+        q = constrain(q, DATA, None, n_spec, None)
         if self.sr_ratio > 1:
-            xm = x.reshape(B, H, W, C)
+            xm = constrain(x.reshape(B, H, W, C), DATA, n_spec)
             xm = L.conv(self.dim, self.sr_ratio, stride=self.sr_ratio,
                         padding="VALID", dtype=self.dtype, name="sr")(xm)
-            xk = xm.reshape(B, -1, C)
+            xk = constrain(xm.reshape(B, -1, C), DATA)
             xk = L.layer_norm(LN_EPS, dtype=self.dtype, name="norm")(xk)
         else:
             xk = x
         M = xk.shape[1]
         kv = L.dense(self.dim * 2, use_bias=self.qkv_bias, dtype=self.dtype,
                      name="kv")(xk).reshape(B, M, 2, h, d)
+        kv = constrain(kv, DATA)
         k = kv[:, :, 0].transpose(0, 2, 1, 3)
         v = kv[:, :, 1].transpose(0, 2, 1, 3)
         # attn_drop sits between softmax and the v-matmul in the reference; the
         # default rate is 0 everywhere (mit factories), so the fused path skips it.
         out = multi_head_attention(q, k, v, scale, use_pallas=self.use_pallas)
+        out = constrain(out, DATA, n_spec, None)
         if self.attn_drop > 0.0:
             raise NotImplementedError(
                 "non-zero attn_drop is unused by every reference config")

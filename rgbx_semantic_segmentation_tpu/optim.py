@@ -35,8 +35,7 @@ def weight_decay_mask(params) -> Any:
 
 def build_optimizer(cfg: Config, params) -> optax.GradientTransformation:
     tc = cfg.train
-    schedule = lr_schedules.warmup_poly_lr(
-        tc.lr, tc.lr_power, tc.total_iters, tc.warmup_iters)
+    schedule = lr_schedules.build_schedule(tc.lr_policy, tc)
     mask = weight_decay_mask(params)
     name = tc.optimizer
     if name == "AdamW":
@@ -45,10 +44,36 @@ def build_optimizer(cfg: Config, params) -> optax.GradientTransformation:
     if name in ("SGDM", "SGD"):
         # reference: SGD(lr, momentum, weight_decay) — decay applied to the same
         # decay group only.
+        if tc.lr_policy == "CyclicLR":
+            # CyclicLR pairs the cosine lr with an inverse momentum schedule
+            # (reference lr_policy.py:68-97; unusable there — get_lr returns a
+            # (lr, momentum) tuple the reference train loop would assign to
+            # param_groups['lr']). inject_hyperparams re-resolves both
+            # schedules inside the jitted update each step.
+            lr_sched, mom_sched = lr_schedules.cyclic_lr(
+                tc.min_lr, tc.lr, tc.cycle_epochs, tc.warm_up_epoch,
+                tc.total_iters, tc.niters_per_epoch)
+            return optax.chain(
+                optax.add_decayed_weights(tc.weight_decay, mask=mask),
+                optax.inject_hyperparams(optax.sgd)(
+                    learning_rate=lr_sched, momentum=mom_sched),
+            )
         return optax.chain(
             optax.add_decayed_weights(tc.weight_decay, mask=mask),
             optax.sgd(learning_rate=schedule, momentum=tc.momentum),
         )
     if name == "LBFGS":
+        # Reference train.py:127-135 constructs torch LBFGS(max_iter=20,
+        # line_search_fn=None) but then calls optimizer.step() with no closure
+        # (train.py:201), which raises TypeError — the reference LBFGS path
+        # never actually ran. Here it works: optax.lbfgs with the zoom
+        # linesearch; the train step passes value/grad/value_fn so the
+        # linesearch can re-evaluate the loss (see train.make_train_step).
         return optax.lbfgs(learning_rate=tc.lr)
     raise KeyError(f"unknown optimizer {name!r}")
+
+
+def is_lbfgs(cfg: Config) -> bool:
+    """LBFGS updates need (value, grad, value_fn) plumbed through tx.update —
+    flax's apply_gradients cannot do that, so the train step special-cases it."""
+    return cfg.train.optimizer == "LBFGS"

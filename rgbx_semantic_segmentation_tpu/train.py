@@ -85,6 +85,7 @@ def make_train_step(cfg: Config, state_sharding=None, batch_sharding=None):
     """Build the jitted train step. With shardings given (from a Mesh), the step
     is GSPMD-partitioned: batch on 'data', params replicated."""
     loss_fn = make_loss_fn(cfg)
+    lbfgs = optim.is_lbfgs(cfg)
     base_key = jax.random.PRNGKey(cfg.train.seed)
     mean = jnp.asarray(cfg.dataset.norm_mean, jnp.float32)
     std = jnp.asarray(cfg.dataset.norm_std, jnp.float32)
@@ -123,16 +124,38 @@ def make_train_step(cfg: Config, state_sharding=None, batch_sharding=None):
 
         (loss, new_stats), grads = jax.value_and_grad(
             compute_loss, has_aux=True)(state.params)
-        new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        if lbfgs:
+            # optax.lbfgs's zoom linesearch re-evaluates the loss along the
+            # search direction: update() needs value/grad/value_fn
+            # (optax.value_and_grad_from_state-style plumbing). Same batch and
+            # rngs — the inner evaluations are deterministic per step.
+            import optax
+
+            def value_fn(p):
+                return compute_loss(p)[0]
+
+            updates, new_opt_state = state.tx.update(
+                grads, state.opt_state, state.params,
+                value=loss, grad=grads, value_fn=value_fn)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                step=state.step + 1, params=new_params,
+                opt_state=new_opt_state, batch_stats=new_stats)
+        else:
+            new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
         metrics = {"loss": loss}
         return new_state, metrics
 
+    # optax.lbfgs's init aliases the param buffers inside its state (the
+    # memory of past iterates), so donating the TrainState would donate the
+    # same buffer twice — skip donation there.
+    donate = () if lbfgs else (0,)
     if state_sharding is not None:
         return jax.jit(step_fn,
                        in_shardings=(state_sharding, batch_sharding),
                        out_shardings=(state_sharding, None),
-                       donate_argnums=(0,))
-    return jax.jit(step_fn, donate_argnums=(0,))
+                       donate_argnums=donate)
+    return jax.jit(step_fn, donate_argnums=donate)
 
 
 def make_eval_step(cfg: Config):
@@ -170,17 +193,24 @@ class Trainer:
 
     def step(self, batch) -> Dict[str, float]:
         batch = mesh_lib.shard_batch(self.mesh, batch)
-        self.state, metrics = self.train_step(self.state, batch)
+        # Mesh context at trace time lets the model's internal sharding
+        # constraints (ops/sharding.constrain) resolve axis names.
+        with self.mesh:
+            self.state, metrics = self.train_step(self.state, batch)
         return metrics
 
     def fit_epoch(self, data_iter, niters: int, log_every: int = 50,
-                  logger=None) -> float:
+                  logger=None, should_stop: Optional[Callable[[], bool]] = None
+                  ) -> float:
         """One epoch. Losses stay on device until the end of the epoch (or a
         log point) — forcing a host sync every step serializes dispatch against
-        the device and wrecks throughput."""
+        the device and wrecks throughput. `should_stop` is polled each
+        iteration (preemption: Engine.preempted) and breaks out early."""
         t0 = time.time()
         losses = []
         for it in range(niters):
+            if should_stop is not None and should_stop():
+                break
             metrics = self.step(next(data_iter))
             losses.append(metrics["loss"])
             if (it + 1) % log_every == 0 and logger is not None:

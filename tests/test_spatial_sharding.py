@@ -38,7 +38,8 @@ def test_2d_sharded_step_matches_unsharded():
     batch_sh = {k: jax.device_put(v, sh) for k, v in batch.items()}
     state2 = mesh_lib.replicate(mesh, train_lib.create_train_state(
         cfg, jax.random.PRNGKey(0)))
-    s2, m2 = step(state2, batch_sh)
+    with mesh:  # trace-time context resolves the model's sharding constraints
+        s2, m2 = step(state2, batch_sh)
 
     assert float(m_ref["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
     pa = jax.tree_util.tree_leaves(s_ref.params)

@@ -100,9 +100,13 @@ def test_preemption_handler_saves_checkpoint(tmp_path):
         log_dir=str(tmp_path))
     state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
     with Engine(cfg) as engine:
-        engine.install_preemption_handler(lambda: state, lambda: 7,
-                                          reraise=False)
+        engine.install_preemption_handler()
         signal.raise_signal(signal.SIGTERM)
+        # The handler only queues (no Orbax I/O in signal context); the train
+        # loop polls `preempted` and saves via drain_preemption.
+        assert engine.preempted
+        assert engine.drain_preemption(7, state, reraise=False)
+        assert not engine.preempted
         assert engine.checkpoints.latest_epoch() == 7
         restored, next_epoch = engine.checkpoints.restore(state)
         assert next_epoch == 8

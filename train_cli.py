@@ -105,7 +105,8 @@ def main():
         # 306-307): JSONL always, TensorBoard mirror when available.
         import os as _os
         writer = MetricsWriter(_os.path.join(cfg.log_dir, cfg.tag()))
-        sched = lr_schedules.build_schedule("WarmUpPolyLR", cfg.train)
+        sched = lr_schedules.build_schedule(cfg.train.lr_policy, cfg.train)
+        engine.install_preemption_handler()
         logger.info("training %s: %d epochs x %d iters, global batch %d",
                     cfg.tag(), cfg.train.nepochs, loader.niters,
                     cfg.train.batch_size)
@@ -113,7 +114,9 @@ def main():
             t0 = time.time()
             trainer.epoch = epoch
             avg_loss = trainer.fit_epoch(iter(loader.epoch(epoch)),
-                                         loader.niters, logger=logger)
+                                         loader.niters, logger=logger,
+                                         should_stop=lambda: engine.preempted)
+            engine.drain_preemption(epoch, trainer.state)
             step_idx = int(trainer.state.step)
             writer.scalar("train/epoch_loss", avg_loss, epoch)
             writer.scalar("train/learning_rate", float(sched(step_idx)),
