@@ -67,15 +67,22 @@ class ModelConfig:
     fl_alpha: float = 0.25
     # Stochastic depth (per-backbone defaults live in the encoder factories).
     drop_path_rate: float = 0.1
+    # TPU-specific: tanh-approximate GELU in the MiT Mix-FFN. The reference's
+    # torch nn.GELU is erf-exact, but erf is VPU-expensive on v5e — the tanh
+    # form is 12% faster end-to-end (117.6 -> 104.9 ms, b8 480x640) and
+    # training-equivalent (max |tanh-erf| GELU delta ~1e-3). Set False for
+    # bit-parity when evaluating converted reference checkpoints (the golden
+    # tests pin False).
+    gelu_approximate: bool = True
     # TPU-specific: compute dtype policy. Params always fp32.
     # Maps `use_mixed_precision` (reference config.py:61); on TPU this means
     # bfloat16 compute with no loss scaling.
     use_mixed_precision: bool = True
-    # TPU-specific: use the Pallas fused SR-attention kernel. Default off:
-    # measured on v5e stage-1 shapes (b8, N=19200, M=300, d=64) the XLA path
-    # runs 7.3 ms vs 16.5 ms for the fused kernel — XLA's own fusion is already
-    # near memory-bound speed-of-light here. The kernel remains available for
-    # shapes/configs where VMEM-resident probs win.
+    # TPU-specific: route SR-attention through the upstream Pallas TPU
+    # flash-attention kernel (probs never materialise in HBM, fwd + bwd).
+    # The r1 first-party kernel lost to XLA (16.5 ms vs 7.3 ms at stage-1
+    # shapes; d 64->128 lane padding) and was deleted — see ops/attention.py
+    # and PARITY.md §2.10 for the measurement trail.
     use_pallas_kernels: bool = False
     # Activation checkpointing of transformer blocks (jax.checkpoint): trades
     # recompute for HBM; needed for mit_b4/b5 at large batch.

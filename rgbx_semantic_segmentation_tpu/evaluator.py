@@ -354,6 +354,9 @@ def evaluate_checkpoints(cfg: Config, dataset, epochs: Sequence[int],
         variables = {"params": st.params}
         if st.batch_stats:
             variables["batch_stats"] = st.batch_stats
+        # Params restore onto the host CPU — pin them to the device once, or
+        # every jitted forward re-uploads them (seconds per call on axon).
+        variables = jax.device_put(variables, jax.devices()[0])
         scores, line = evaluator.evaluate(variables, dataset, logger=logger)
         results[epoch] = scores
         header = f"======= epoch {epoch} =======\n"

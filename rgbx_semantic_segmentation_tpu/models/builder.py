@@ -106,6 +106,7 @@ def build_backbone(cfg: Config, dtype=None) -> Tuple[nn.Module, Sequence[int]]:
         kw["drop_path_rate"] = cfg.model.drop_path_rate
         kw["use_pallas"] = cfg.model.use_pallas_kernels
         kw["remat"] = cfg.model.remat
+        kw["gelu_approximate"] = cfg.model.gelu_approximate
     kw.update(overrides)
     module = factory(dtype=dtype, name="backbone", **kw)
     return module, channels

@@ -21,10 +21,20 @@ from jax.sharding import PartitionSpec
 
 
 def _active_mesh():
-    """The mesh installed by `with mesh:` around the jit call (trace-time)."""
-    try:
-        from jax.interpreters import pxla
-        mesh = pxla.thread_resources.env.physical_mesh
+    """The mesh installed by `with mesh:` / `use_mesh` around the jit call
+    (trace-time)."""
+    try:  # explicit-sharding mode (jax.sharding.use_mesh / set_mesh)
+        am = jax.sharding.get_abstract_mesh()
+        if am is not None and not am.empty:
+            return am
+    except Exception:
+        pass
+    try:  # legacy `with mesh:` context (deprecated in jax 0.8.2 but live)
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            from jax.interpreters import pxla
+            mesh = pxla.thread_resources.env.physical_mesh
         return None if mesh.empty else mesh
     except Exception:
         return None

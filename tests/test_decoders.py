@@ -160,8 +160,17 @@ def test_builder_all_decoders(decoder):
     rgb = np.zeros((1, 32, 32, 3), np.float32)
     out = model.init_with_output(jax.random.PRNGKey(0), rgb, rgb)[0]
     if decoder == "mask2former":
-        assert out["pred_logits"].shape == (1, 100, 6)
-        assert out["pred_masks"].shape[0] == 1
+        # Eval mode composes query predictions into per-pixel scores
+        # (semantic_inference); the {pred_logits, pred_masks} dict is the
+        # train-mode output consumed by the loss.
+        assert out.shape == (1, 32, 32, 5)
+        train_out = model.apply(
+            model.init(jax.random.PRNGKey(0), rgb, rgb, False), rgb, rgb, True,
+            rngs={"dropout": jax.random.PRNGKey(1),
+                  "droppath": jax.random.PRNGKey(2)},
+            mutable=["batch_stats"])[0]
+        assert train_out["pred_logits"].shape == (1, 100, 6)
+        assert train_out["pred_masks"].shape == (1, 100, 32, 32)
     elif decoder in ("UPernet", "deeplabv3+"):
         logits, aux = out
         assert logits.shape == (1, 32, 32, 5)

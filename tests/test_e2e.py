@@ -29,8 +29,8 @@ def e2e_cfg(tmp_path_factory):
         model=ModelConfig(backbone="mit_b0", decoder="MLPDecoder",
                           decoder_embed_dim=64, use_mixed_precision=False,
                           drop_path_rate=0.0),
-        train=TrainConfig(batch_size=4, nepochs=2, niters_per_epoch=4,
-                          warm_up_epoch=0, lr=3e-4, num_workers=0,
+        train=TrainConfig(batch_size=4, nepochs=4, niters_per_epoch=4,
+                          warm_up_epoch=0, lr=1e-3, num_workers=0,
                           train_scale_array=None),
         eval=EvalConfig(eval_scale_array=(1.0,), eval_flip=False,
                         eval_crop_size=(32, 32)),
@@ -45,7 +45,7 @@ def test_train_eval_checkpoint_resume(e2e_cfg, tmp_path):
     step = train_lib.make_train_step(cfg)
 
     losses = []
-    for epoch in range(2):
+    for epoch in range(cfg.train.nepochs):
         for batch in loader.epoch(epoch):
             state, metrics = step(state, batch)
             losses.append(float(metrics["loss"]))
@@ -57,8 +57,10 @@ def test_train_eval_checkpoint_resume(e2e_cfg, tmp_path):
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     scores, line = evaluator.evaluate(variables, val.dataset)
     assert "mean_IoU" in line
-    # learned structured labels should clear chance level (1/4 classes)
-    assert scores.pixel_acc > 0.3
+    # 16 steps on structured labels: well clear of chance (0.25); measured
+    # 0.49 at this config. The real convergence bar (mIoU > 0.9) lives in
+    # tests/test_convergence.py.
+    assert scores.pixel_acc > 0.42
 
     # --- checkpoint -> restore round-trip ---
     ckpt_dir = str(tmp_path / "ckpt")
