@@ -74,8 +74,12 @@ def torch_to_flax_variables(state_dict: Mapping[str, Any]) -> FlaxVariables:
     variable collections {'params': ..., 'batch_stats': ...}."""
     out: FlaxVariables = {"params": {}, "batch_stats": {}}
     for key, val in state_dict.items():
-        arr = np.asarray(getattr(val, "detach", lambda: val)().cpu().numpy()
-                         if hasattr(val, "detach") else val)
+        # np.array(copy=True): tensor.numpy() VIEWS the torch storage, and on
+        # the CPU backend jnp.asarray keeps that buffer zero-copy — a live
+        # torch model would then mutate our params/batch_stats in place
+        # (optimizer.step(), BN running-stats updates). Copy at the boundary.
+        arr = np.array(getattr(val, "detach", lambda: val)().cpu().numpy()
+                       if hasattr(val, "detach") else val, copy=True)
         path = torch_key_to_path(key)
         leaf = _convert_leaf(path[-1], arr)
         if leaf is None:
@@ -191,7 +195,9 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
         raw = raw["model"]
     if isinstance(raw, dict) and "state_dict" in raw:
         raw = raw["state_dict"]
-    return {k: v.detach().cpu().numpy() for k, v in raw.items()}
+    # copy=True: .numpy() views torch storage (see torch_to_flax_variables).
+    return {k: np.array(v.detach().cpu().numpy(), copy=True)
+            for k, v in raw.items()}
 
 
 def duplicate_dual_path_segnext(state_dict: Mapping[str, Any]) -> Dict[str, Any]:

@@ -55,21 +55,72 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
-def batch_norm(momentum: float = 0.1, epsilon: float = 1e-5, dtype=None,
-               name=None) -> nn.BatchNorm:
-    """BatchNorm over NHWC maps with torch semantics.
+class TorchBatchNorm(nn.Module):
+    """BatchNorm over the trailing channel axis with torch-EXACT semantics.
 
-    Under a jitted step with the batch sharded on the mesh 'data' axis, the batch
-    statistics are global (XLA inserts the cross-chip reductions), which matches
-    the reference's SyncBatchNorm conversion under DDP (reference train.py:64-65)
-    without any explicit plumbing. `momentum` follows the torch convention
-    (new = (1 - momentum) * old + momentum * batch); torch BatchNorm2d default
-    eps is 1e-5.
+    flax nn.BatchNorm updates the running variance with the BIASED batch
+    variance; torch.nn.BatchNorm2d uses the UNBIASED one (factor N/(N-1),
+    N = elements reduced per channel). At production resolutions the factor is
+    negligible (N >= 2400 on MFNet crops), but it is a real semantic deviation
+    — the 20-step optimizer-trajectory golden (tests/test_convergence.py)
+    caught it at its tiny 32x32 geometry, where stage-4 maps are 1x1 and the
+    factor is 2x. Everything else matches flax: fp32 statistics,
+    E[x^2]-E[x]^2 fast variance, biased variance for the in-batch
+    normalization, variable names {mean, var} in `batch_stats` and params
+    {scale, bias}.
+
+    `momentum` follows the torch convention
+    (new = (1 - momentum) * old + momentum * batch).
+    """
+
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        feat = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (feat,))
+        bias = self.param("bias", nn.initializers.zeros, (feat,))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            red = tuple(range(x.ndim - 1))
+            # Under a jitted step with the batch sharded on the mesh 'data'
+            # axis these reductions are global (XLA inserts the cross-chip
+            # collectives) — matches the reference's SyncBatchNorm under DDP
+            # (reference train.py:64-65) with no explicit plumbing.
+            mean = jnp.mean(xf, red)
+            var = jnp.mean(jnp.square(xf), red) - jnp.square(mean)
+            n = 1
+            for d in red:
+                n *= x.shape[d]
+            if not self.is_initializing():
+                m = self.momentum
+                correction = n / max(n - 1, 1)
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = ((1.0 - m) * ra_var.value
+                                + m * var * correction)
+        y = ((x.astype(jnp.float32) - mean)
+             * jax.lax.rsqrt(var + self.epsilon) * scale + bias)
+        out_dtype = self.dtype if self.dtype is not None else x.dtype
+        return y.astype(out_dtype)
+
+
+def batch_norm(momentum: float = 0.1, epsilon: float = 1e-5, dtype=None,
+               name=None) -> "TorchBatchNorm":
+    """BatchNorm over NHWC maps with torch semantics (see TorchBatchNorm;
+    torch BatchNorm2d default eps is 1e-5).
 
     The `use_running_average` flag is threaded by the caller at __call__ time.
     """
-    return nn.BatchNorm(momentum=1.0 - momentum, epsilon=epsilon, dtype=dtype,
-                        name=name)
+    return TorchBatchNorm(momentum=momentum, epsilon=epsilon, dtype=dtype,
+                          name=name)
 
 
 def layer_norm(epsilon: float = 1e-5, dtype=None, name=None) -> nn.LayerNorm:

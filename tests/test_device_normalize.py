@@ -16,8 +16,14 @@ def _cfg():
         model=ModelConfig(backbone="mit_b0", decoder="MLPDecoder",
                           decoder_embed_dim=64, use_mixed_precision=False,
                           drop_path_rate=0.0),
+        # SGDM, not AdamW: the uint8 and fp32 paths are DIFFERENT XLA
+        # programs whose activations agree only to float rounding, and AdamW
+        # deltas (~lr*sign(grad)) amplify ulp-level gradient differences into
+        # sign flips on near-zero-gradient coordinates. SGDM deltas are
+        # gradient-proportional, so ulp-level input agreement stays ulp-level
+        # in the params and the tight tolerance is meaningful.
         train=TrainConfig(batch_size=4, warm_up_epoch=0, nepochs=1,
-                          niters_per_epoch=4, lr=1e-3))
+                          niters_per_epoch=4, lr=1e-3, optimizer="SGDM"))
 
 
 def test_uint8_batch_matches_fp32_batch():
