@@ -78,12 +78,15 @@ class ModelConfig:
     # Maps `use_mixed_precision` (reference config.py:61); on TPU this means
     # bfloat16 compute with no loss scaling.
     use_mixed_precision: bool = True
-    # TPU-specific: route SR-attention through the upstream Pallas TPU
-    # flash-attention kernel (probs never materialise in HBM, fwd + bwd).
-    # The r1 first-party kernel lost to XLA (16.5 ms vs 7.3 ms at stage-1
-    # shapes; d 64->128 lane padding) and was deleted — see ops/attention.py
-    # and PARITY.md §2.10 for the measurement trail.
-    use_pallas_kernels: bool = False
+    # TPU-specific: fused Pallas attention. Short-kv SR shapes (M <= 1024 —
+    # every attention in this model family) use the first-party
+    # ops/sr_attention.py kernel: whole kv resident in VMEM, fp32
+    # logits/softmax never touch HBM, backward recomputes probs in-kernel
+    # (train step 103.5 -> 95.4 ms, b8 mit_b2 480x640). Long-kv shapes fall
+    # back to the upstream flash kernel; non-TPU platforms and active device
+    # meshes (no GSPMD rule for pallas_call yet) use the XLA path. Measurement
+    # trail: docs/PERF.md; r1/r2 kernel history in PARITY.md §2.10.
+    use_pallas_kernels: bool = True
     # Activation checkpointing of transformer blocks (jax.checkpoint): trades
     # recompute for HBM; needed for mit_b4/b5 at large batch.
     remat: bool = False

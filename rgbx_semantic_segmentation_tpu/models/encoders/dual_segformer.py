@@ -128,7 +128,14 @@ class Attention(nn.Module):
         v = kv[:, :, 1].transpose(0, 2, 1, 3)
         # attn_drop sits between softmax and the v-matmul in the reference; the
         # default rate is 0 everywhere (mit factories), so the fused path skips it.
-        out = multi_head_attention(q, k, v, scale, use_pallas=self.use_pallas)
+        # Mesh gate: pallas_call has no GSPMD partitioning rule, so under an
+        # active device mesh the custom call would be replicated (involuntary
+        # full rematerialization). Multi-chip runs keep the XLA path until the
+        # kernel gets a shard_map wrapper (data-parallel is trivially
+        # shardable over G = B*h; TODO round 3).
+        fused = (self.use_pallas and axis_size(DATA) is None
+                 and axis_size(SPATIAL) is None)
+        out = multi_head_attention(q, k, v, scale, use_pallas=fused)
         out = constrain(out, DATA, n_spec, None)
         if self.attn_drop > 0.0:
             raise NotImplementedError(

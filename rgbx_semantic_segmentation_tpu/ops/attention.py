@@ -5,16 +5,19 @@ is the hot op: q has N tokens, k/v are sr-conv downsampled to M = N/r^2, so the
 XLA path materialises a (B, h, N, M) fp32 probs buffer in HBM between the two
 matmuls (stage 1 at b8 480x640: 184 MB per block per tower, fwd and bwd).
 
-The fused path dispatches to the upstream Pallas TPU flash-attention kernel
-(jax.experimental.pallas.ops.tpu.flash_attention), which tiles q and keeps the
-probs block in VMEM for forward AND backward. A first-party custom SR-attention
-kernel was benchmarked in round 1 and LOST to XLA (16.5 ms vs 7.3 ms at stage-1
-shapes — the d 64->128 lane padding doubled its work); it was deleted in favour
-of the tuned upstream kernel (see PARITY.md §2.10).
+The fused path (use_pallas, default on via ModelConfig.use_pallas_kernels)
+dispatches short-kv shapes to the first-party ops/sr_attention.py kernel
+(whole kv in VMEM, no online softmax, probs recomputed in the backward —
+measured 103.5 -> 95.4 ms on the b8 mit_b2 train step) and long-kv shapes to
+the upstream Pallas flash-attention kernel
+(jax.experimental.pallas.ops.tpu.flash_attention). The r1 first-party kernel
+lost to XLA (16.5 ms vs 7.3 ms at stage-1 shapes — it padded the (N, M) dim)
+and was deleted; the kernel history and measurements live in PARITY.md §2.10
+and docs/PERF.md.
 
-kv is padded to a 128 multiple with a -1e9 additive bias (exact: padded columns
-get zero probability); q is padded to a 128 multiple and the pad rows sliced
-off the output (exact for real rows).
+For the flash path, kv is padded to a 128 multiple with segment-id masking
+(exact: padded columns get zero probability); q is padded to a 128 multiple
+and the pad rows sliced off the output (exact for real rows).
 """
 from __future__ import annotations
 
@@ -132,14 +135,20 @@ def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     Logits and softmax accumulate in fp32 (bf16 inputs stay bf16 on the MXU);
     the backward keeps only a bf16 probs residual (see _sdpa_fwd). With
-    use_pallas (on TPU, supported shapes), dispatches to the fused
-    flash-attention kernel that never materialises the probs in HBM — kept
-    default-off: measured at SR-attention's short-kv shapes (M=300) the XLA
-    path wins the backward (see PARITY.md §2.10).
+    use_pallas (on TPU), short-kv shapes dispatch to the first-party fused
+    kernel (ops/sr_attention.py) and long-kv shapes to the upstream flash
+    kernel; neither materialises probs in HBM. Callers under an active device
+    mesh must pass use_pallas=False (pallas_call has no GSPMD rule; the
+    Attention module gates this automatically).
     """
     B, h, N, d = q.shape
-    if use_pallas and flash_supported(q.shape, k.shape):
-        out = _flash_attention(q, k, v, scale)
-        return out.transpose(0, 2, 1, 3).reshape(B, N, h * d)
+    if use_pallas and _on_tpu():
+        from rgbx_semantic_segmentation_tpu.ops import sr_attention
+        if sr_attention.supported(q.shape, k.shape):
+            out = sr_attention.sr_attention(q, k, v, scale)
+            return out.transpose(0, 2, 1, 3).reshape(B, N, h * d)
+        if flash_supported(q.shape, k.shape):
+            out = _flash_attention(q, k, v, scale)
+            return out.transpose(0, 2, 1, 3).reshape(B, N, h * d)
     out = _sdpa(q, k, v, scale)
     return out.transpose(0, 2, 1, 3).reshape(B, N, h * d)
