@@ -128,14 +128,12 @@ class Attention(nn.Module):
         v = kv[:, :, 1].transpose(0, 2, 1, 3)
         # attn_drop sits between softmax and the v-matmul in the reference; the
         # default rate is 0 everywhere (mit factories), so the fused path skips it.
-        # Mesh gate: pallas_call has no GSPMD partitioning rule, so under an
-        # active device mesh the custom call would be replicated (involuntary
-        # full rematerialization). Multi-chip runs keep the XLA path until the
-        # kernel gets a shard_map wrapper (data-parallel is trivially
-        # shardable over G = B*h; TODO round 3).
-        fused = (self.use_pallas and axis_size(DATA) is None
-                 and axis_size(SPATIAL) is None)
-        out = multi_head_attention(q, k, v, scale, use_pallas=fused)
+        # Under an active device mesh, pallas_call has no GSPMD partitioning
+        # rule, so the kernel is explicitly shard_mapped instead
+        # (sr_attention_sharded): batch on 'data', q tokens on 'spatial' when
+        # rows divide (same layout the constrain() pins establish), kv
+        # replicated over 'spatial' with a psum'd dk/dv backward.
+        out = self._attend(q, k, v, scale, n_spec)
         out = constrain(out, DATA, n_spec, None)
         if self.attn_drop > 0.0:
             raise NotImplementedError(
@@ -143,6 +141,37 @@ class Attention(nn.Module):
         out = L.dense(self.dim, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
         return out
+
+    def _attend(self, q, k, v, scale, n_spec):
+        """Dispatch the attention middle: fused Pallas kernel (direct or
+        shard_mapped under a mesh) when profitable/possible, else XLA."""
+        from rgbx_semantic_segmentation_tpu.ops import sr_attention as SR
+        from rgbx_semantic_segmentation_tpu.ops.attention import _on_tpu
+        from rgbx_semantic_segmentation_tpu.ops.sharding import _active_mesh
+
+        B, h, N, d = q.shape
+        mesh = _active_mesh()
+        if self.use_pallas and mesh is not None and SR.supported(
+                q.shape, k.shape):
+            # Interpret mode lets the CPU-mesh dry run / tests execute the
+            # real multi-chip kernel path (opt-in: it is slow).
+            import os
+            interpret = (not _on_tpu()) and bool(
+                os.environ.get("RGBX_PALLAS_INTERPRET"))
+            if _on_tpu() or interpret:
+                da = axis_size(DATA)
+                sp_sz = axis_size(SPATIAL)
+                data_ax = DATA if da is not None and (B * h) % da == 0 \
+                    else None
+                n_ax = n_spec if sp_sz is not None and n_spec is not None \
+                    and N % sp_sz == 0 else None
+                if (da or 1) == 1 or data_ax is not None:
+                    out = SR.sr_attention_sharded(
+                        q, k, v, scale, mesh, data_ax, n_ax,
+                        interpret=interpret)
+                    return out.transpose(0, 2, 1, 3).reshape(B, N, h * d)
+        fused = (self.use_pallas and mesh is None)
+        return multi_head_attention(q, k, v, scale, use_pallas=fused)
 
 
 class Block(nn.Module):

@@ -40,6 +40,7 @@ dimension itself).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -243,4 +244,76 @@ def sr_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     M = k.shape[2]
     out = _sr_attention_3d(q.reshape(B * h, N, d), k.reshape(B * h, M, d),
                            v.reshape(B * h, M, d), scale, interpret)
+    return out.reshape(B, h, N, d)
+
+
+# ---------------------------------------------------------------------------
+# Mesh (GSPMD) integration: pallas_call has no SPMD partitioning rule, so
+# under a device mesh the kernel must be explicitly shard_mapped. q tiles are
+# independent given the (replicated-over-token-shards) kv, so the natural
+# layout is: batch sharded on the data axis, q/out tokens sharded on the
+# spatial axis, kv replicated across spatial. The backward's per-shard dk/dv
+# are partial sums over the local q rows -> psum over the spatial axis inside
+# the shard_map body. This mirrors the sharding the Attention module pins
+# with with_sharding_constraint (models/encoders/dual_segformer.py), so
+# shard_map introduces no resharding of its own.
+# ---------------------------------------------------------------------------
+
+
+def _specs(data_axis, n_axis):
+    from jax.sharding import PartitionSpec as P
+    qs = P(data_axis, n_axis, None)      # (B*h, N, d) token-sharded
+    ks = P(data_axis, None, None)        # (B*h, M, d) kv replicated over n
+    return qs, ks
+
+
+def _shmap(fn, mesh, in_specs, out_specs):
+    from jax.experimental.shard_map import shard_map
+    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                     check_rep=False)
+
+
+def _make_sharded(mesh, data_axis, n_axis, scale, interpret):
+    qs, ks = _specs(data_axis, n_axis)
+
+    @jax.custom_vjp
+    def attn(q, k, v):
+        return _shmap(
+            lambda q, k, v: _fwd_call(q, k, v, scale, interpret),
+            mesh, (qs, ks, ks), qs)(q, k, v)
+
+    def fwd(q, k, v):
+        return attn(q, k, v), (q, k, v)
+
+    def bwd(res, g):
+        q, k, v = res
+
+        def body(q, k, v, g):
+            dq, dk, dv = _bwd_call(q, k, v, g.astype(q.dtype), scale,
+                                   interpret)
+            if n_axis is not None:
+                # dk/dv are partial over this shard's q rows.
+                dk = jax.lax.psum(dk, n_axis)
+                dv = jax.lax.psum(dv, n_axis)
+            return dq, dk, dv
+
+        return _shmap(body, mesh, (qs, ks, ks, qs), (qs, ks, ks))(q, k, v, g)
+
+    attn.defvjp(fwd, bwd)
+    return attn
+
+
+def sr_attention_sharded(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                         scale: float, mesh, data_axis: Optional[str],
+                         n_axis: Optional[str],
+                         interpret: bool = False) -> jnp.ndarray:
+    """sr_attention under an active device mesh via shard_map (see block
+    comment above). The caller is responsible for divisibility: B*h by the
+    data axis and N by the n axis (the Attention module's existing rows_ok /
+    batch gates). Axis names not in the mesh must be passed as None."""
+    B, h, N, d = q.shape
+    M = k.shape[2]
+    fn = _make_sharded(mesh, data_axis, n_axis, scale, interpret)
+    out = fn(q.reshape(B * h, N, d), k.reshape(B * h, M, d),
+             v.reshape(B * h, M, d))
     return out.reshape(B, h, N, d)

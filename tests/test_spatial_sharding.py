@@ -47,3 +47,41 @@ def test_2d_sharded_step_matches_unsharded():
     for a, b in zip(pa, pb):
         # fp32 cross-device reduction order differences only
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+def test_2d_sharded_step_with_pallas_interpret_matches(monkeypatch):
+    """Same 2-D GSPMD exactness bar, but with the shard_mapped Pallas
+    SR-attention kernel active (interpret mode on the CPU mesh) — validates
+    the path real multi-chip TPU training takes: batch on 'data', q tokens on
+    'spatial' where rows divide, kv replicated, dk/dv psum'd in the backward
+    (ops/sr_attention.sr_attention_sharded)."""
+    import dataclasses
+
+    monkeypatch.setenv("RGBX_PALLAS_INTERPRET", "1")
+    cfg = _cfg()
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, use_pallas_kernels=True))
+    step = train_lib.make_train_step(cfg)
+    rng = np.random.RandomState(1)
+    batch = {"rgb": rng.randn(4, 64, 64, 3).astype(np.float32),
+             "modal_x": rng.randn(4, 64, 64, 3).astype(np.float32),
+             "label": rng.randint(0, 5, (4, 64, 64)).astype(np.int32)}
+
+    monkeypatch.delenv("RGBX_PALLAS_INTERPRET")
+    s_ref, m_ref = step(train_lib.create_train_state(
+        cfg, jax.random.PRNGKey(0)), batch)  # unsharded -> XLA attention
+    monkeypatch.setenv("RGBX_PALLAS_INTERPRET", "1")
+
+    mesh = mesh_lib.make_mesh_2d(data=2, spatial=4)
+    sh = mesh_lib.spatial_batch_sharding(mesh)
+    batch_sh = {k: jax.device_put(v, sh) for k, v in batch.items()}
+    state2 = mesh_lib.replicate(mesh, train_lib.create_train_state(
+        cfg, jax.random.PRNGKey(0)))
+    with mesh:
+        s2, m2 = step(state2, batch_sh)
+
+    assert float(m_ref["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-4)
+    pa = jax.tree_util.tree_leaves(s_ref.params)
+    pb = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(pa, pb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
