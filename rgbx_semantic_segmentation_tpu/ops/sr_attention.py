@@ -70,6 +70,16 @@ def _tile_n(n: int) -> int:
     return n
 
 
+def _g_block(g: int, tn: int, target: int = 1920) -> int:
+    """Batch gb (batch*head) slices into one grid step so that gb*tn ~ target
+    rows: amortises the fixed per-grid-step cost where N (and so tn) is
+    small. Must divide g."""
+    gb = min(g, max(1, target // tn))
+    while g % gb:
+        gb -= 1
+    return gb
+
+
 def supported(q_shape, k_shape) -> bool:
     B, h, N, d = q_shape
     M = k_shape[2]
@@ -85,23 +95,27 @@ def _mask_pad_cols(logits, m):
     return jnp.where(col < m, logits, NEG_INF)
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, m):
-    q = q_ref[0]
-    k = k_ref[0]
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
-    logits = _mask_pad_cols(logits, m)
-    logits -= jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits)
-    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(q.dtype)
-    o_ref[0] = jax.lax.dot_general(
-        p, v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, m, gb):
+    # gb (batch·head slices per grid step) amortises the fixed per-grid-step
+    # cost (~2.4 us measured): the python loop unrolls to independent
+    # matmul/softmax chains on resident blocks.
+    for g in range(gb):
+        q = q_ref[g]
+        k = k_ref[g]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        logits = _mask_pad_cols(logits, m)
+        logits -= jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(q.dtype)
+        o_ref[g] = jax.lax.dot_general(
+            p, v_ref[g], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
-                dk_acc, dv_acc, *, scale, m, n_tiles):
+                dk_acc, dv_acc, *, scale, m, n_tiles, gb):
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -109,39 +123,43 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    g = g_ref[0]
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
-    logits = _mask_pad_cols(logits, m)
-    logits -= jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits)
-    pf = e / jnp.sum(e, axis=-1, keepdims=True)
-    p = pf.astype(q.dtype)
+    for gi in range(gb):
+        q = q_ref[gi]
+        k = k_ref[gi]
+        v = v_ref[gi]
+        g = g_ref[gi]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        logits = _mask_pad_cols(logits, m)
+        logits -= jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits)
+        pf = e / jnp.sum(e, axis=-1, keepdims=True)
+        p = pf.astype(q.dtype)
 
-    # dv += p^T @ g   (contract the TILE_N rows)
-    dv_acc[:] += jax.lax.dot_general(
-        p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    # dp = g @ v^T    (TILE_N, Mp)
-    dp = jax.lax.dot_general(
-        g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    dl = ((dp - jnp.sum(dp * pf, axis=-1, keepdims=True)) * pf
-          * scale).astype(q.dtype)
-    # dq = dl @ k     (TILE_N, d)
-    dq_ref[0] = jax.lax.dot_general(
-        dl, k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
-    # dk += dl^T @ q  (Mp, d)
-    dk_acc[:] += jax.lax.dot_general(
-        dl, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        # dv += p^T @ g   (contract the TILE_N rows)
+        dv_acc[gi] += jax.lax.dot_general(
+            p, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # dp = g @ v^T    (TILE_N, Mp)
+        dp = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dl = ((dp - jnp.sum(dp * pf, axis=-1, keepdims=True)) * pf
+              * scale).astype(q.dtype)
+        # dq = dl @ k     (TILE_N, d)
+        dq_ref[gi] = jax.lax.dot_general(
+            dl, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        # dk += dl^T @ q  (Mp, d)
+        dk_acc[gi] += jax.lax.dot_general(
+            dl, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(i == n_tiles - 1)
     def _():
-        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
-        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+        dk_ref[:] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[:] = dv_acc[:].astype(dv_ref.dtype)
 
 
 def _pad_kv(k, v, mp):
@@ -159,17 +177,18 @@ def _fwd_call(q, k, v, scale, interpret=False):
     M = k.shape[1]
     Mp = _round_up(max(M, 128), 128)
     tn = _tile_n(N)
+    gb = _g_block(G, tn, target=3840)
     k, v = _pad_kv(k, v, Mp)
-    kern = functools.partial(_fwd_kernel, scale=scale, m=M)
+    kern = functools.partial(_fwd_kernel, scale=scale, m=M, gb=gb)
     return pl.pallas_call(
         kern,
-        grid=(G, N // tn),
+        grid=(G // gb, N // tn),
         in_specs=[
-            pl.BlockSpec((1, tn, d), lambda g, i: (g, i, 0)),
-            pl.BlockSpec((1, Mp, d), lambda g, i: (g, 0, 0)),
-            pl.BlockSpec((1, Mp, d), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((gb, tn, d), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((gb, Mp, d), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((gb, Mp, d), lambda g, i: (g, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, tn, d), lambda g, i: (g, i, 0)),
+        out_specs=pl.BlockSpec((gb, tn, d), lambda g, i: (g, i, 0)),
         out_shape=jax.ShapeDtypeStruct((G, N, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
@@ -184,21 +203,23 @@ def _bwd_call(q, k, v, g, scale, interpret=False):
     Mp = _round_up(max(M, 128), 128)
     tn = _tile_n(N)
     n_tiles = N // tn
+    gb = _g_block(G, tn)
     k, v = _pad_kv(k, v, Mp)
-    kern = functools.partial(_bwd_kernel, scale=scale, m=M, n_tiles=n_tiles)
+    kern = functools.partial(_bwd_kernel, scale=scale, m=M, n_tiles=n_tiles,
+                             gb=gb)
     dq, dk, dv = pl.pallas_call(
         kern,
-        grid=(G, n_tiles),
+        grid=(G // gb, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, tn, d), lambda g, i: (g, i, 0)),
-            pl.BlockSpec((1, Mp, d), lambda g, i: (g, 0, 0)),
-            pl.BlockSpec((1, Mp, d), lambda g, i: (g, 0, 0)),
-            pl.BlockSpec((1, tn, d), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((gb, tn, d), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((gb, Mp, d), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((gb, Mp, d), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((gb, tn, d), lambda g, i: (g, i, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, tn, d), lambda g, i: (g, i, 0)),
-            pl.BlockSpec((1, Mp, d), lambda g, i: (g, 0, 0)),
-            pl.BlockSpec((1, Mp, d), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((gb, tn, d), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((gb, Mp, d), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((gb, Mp, d), lambda g, i: (g, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((G, N, d), q.dtype),
@@ -206,8 +227,8 @@ def _bwd_call(q, k, v, g, scale, interpret=False):
             jax.ShapeDtypeStruct((G, Mp, d), v.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Mp, d), jnp.float32),
-            pltpu.VMEM((Mp, d), jnp.float32),
+            pltpu.VMEM((gb, Mp, d), jnp.float32),
+            pltpu.VMEM((gb, Mp, d), jnp.float32),
         ],
         # The N-tile dim is 'arbitrary' (sequential): the dk/dv accumulators
         # carry across its iterations.
