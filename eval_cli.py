@@ -71,7 +71,10 @@ def main():
         cfg = cfg.replace(model=dataclasses.replace(cfg.model, **model_kw))
 
     logger = get_logger()
-    state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    # Structure-only state (zeros, jax.eval_shape): every leaf is overwritten
+    # by the checkpoint restore below; the real init program costs ~60-100 s
+    # of XLA:CPU compile for nothing.
+    state = train_lib.create_eval_state(cfg)
 
     # -e accepts a direct checkpoint path (reference evaluator.py:42-81's
     # `-e file.pth` form): either an epoch-numbered Orbax step dir or a

@@ -344,7 +344,7 @@ def evaluate_checkpoints(cfg: Config, dataset, epochs: Sequence[int],
     from rgbx_semantic_segmentation_tpu import train as train_lib
     from rgbx_semantic_segmentation_tpu.checkpoint import CheckpointManager
 
-    state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    state = train_lib.create_eval_state(cfg)
     mgr = CheckpointManager(checkpoint_dir)
     model_apply = state.apply_fn
     evaluator = SegEvaluator(cfg, model_apply)

@@ -138,8 +138,9 @@ def multi_head_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     use_pallas (on TPU), short-kv shapes dispatch to the first-party fused
     kernel (ops/sr_attention.py) and long-kv shapes to the upstream flash
     kernel; neither materialises probs in HBM. Callers under an active device
-    mesh must pass use_pallas=False (pallas_call has no GSPMD rule; the
-    Attention module gates this automatically).
+    mesh must pass use_pallas=False and use sr_attention.sr_attention_sharded
+    instead (pallas_call has no GSPMD rule; the Attention module's _attend
+    dispatches this automatically).
     """
     B, h, N, d = q.shape
     if use_pallas and _on_tpu():

@@ -59,6 +59,34 @@ def create_train_state(cfg: Config, rng: jax.Array,
                              batch_stats=batch_stats)
 
 
+def create_eval_state(cfg: Config,
+                      input_hw: Optional[Tuple[int, int]] = None,
+                      model: Optional[EncoderDecoder] = None) -> TrainState:
+    """TrainState whose param/batch_stats tree has the right STRUCTURE but
+    zero values — for checkpoint restore, which overwrites every leaf.
+
+    `jax.eval_shape` traces `model.init` abstractly (no compile, no FLOPs);
+    materialising zeros is instant. Skips the ~60-100 s XLA:CPU compile of
+    the real init program that `create_train_state` pays — pure startup
+    waste when the caller immediately restores a checkpoint (eval CLI,
+    offline tools)."""
+    import numpy as np
+
+    if model is None:
+        model = build_model(cfg)
+    H, W = input_hw or (cfg.dataset.image_height, cfg.dataset.image_width)
+    spec = jax.ShapeDtypeStruct((1, H, W, 3), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda r, a, b: model.init({"params": r}, a, b, False),
+        jax.ShapeDtypeStruct((2,), jnp.uint32), spec, spec)
+    variables = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), shapes)
+    params = variables["params"]
+    tx = optim.build_optimizer(cfg, params)
+    return TrainState.create(apply_fn=model.apply, params=params, tx=tx,
+                             batch_stats=variables.get("batch_stats", {}))
+
+
 def make_loss_fn(cfg: Config) -> Callable:
     """Wraps the criterion with aux-head handling (reference builder.py:240-253:
     aux loss weighted by aux_rate=0.4) and the mask2former dict path."""
