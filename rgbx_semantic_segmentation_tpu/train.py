@@ -205,12 +205,19 @@ class Trainer:
     """Data-parallel trainer over a device mesh (Engine equivalent,
     reference engine/engine.py:29-163)."""
 
-    def __init__(self, cfg: Config, mesh=None, seed: Optional[int] = None):
+    def __init__(self, cfg: Config, mesh=None, seed: Optional[int] = None,
+                 init_values: bool = True):
+        """init_values=False builds a structure-only state (create_eval_state)
+        — pass it when an immediate checkpoint restore overwrites every leaf
+        (resume without pretrained load): skips the ~60-100 s init compile.
+        The restore path raises on a missing checkpoint, so zeros can't leak
+        into training."""
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
         rng = jax.random.PRNGKey(seed if seed is not None else cfg.train.seed)
         with self.mesh:
-            state = create_train_state(cfg, rng)
+            state = (create_train_state(cfg, rng) if init_values
+                     else create_eval_state(cfg))
         self.state = mesh_lib.replicate(self.mesh, state)
         state_shardings = jax.tree_util.tree_map(lambda x: x.sharding, self.state)
         self.train_step = make_train_step(

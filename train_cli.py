@@ -80,7 +80,11 @@ def main():
 
     logger = get_logger()
     with Engine(cfg, args) as engine:
-        trainer = train_lib.Trainer(cfg, mesh=engine.mesh)
+        # Resume without a pretrained load restores every leaf from the
+        # checkpoint — skip the real init program (structure-only state).
+        trainer = train_lib.Trainer(
+            cfg, mesh=engine.mesh,
+            init_values=not (args.resume and not cfg.model.pretrained_model))
         if cfg.model.pretrained_model:
             variables = {"params": jax.device_get(trainer.state.params),
                          "batch_stats": jax.device_get(trainer.state.batch_stats)}
