@@ -40,6 +40,7 @@ dimension itself).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -51,6 +52,11 @@ NEG_INF = -1e9
 # Whole-kv-in-VMEM bound: Mp <= 1024 keeps k + v + logits tiles well under
 # the ~16 MB VMEM budget with double buffering.
 MAX_M_PAD = 1024
+# g-block row targets (rows processed per grid step, amortising the ~2.4 us
+# fixed per-step cost). Tuned on v5e (docs/PERF.md); env-overridable for
+# ablation runs. bwd is lower: ~4 live fp32 logits-sized tiles per slice.
+_FWD_TARGET = int(os.environ.get("RGBX_SR_FWD_TARGET", "3840"))
+_BWD_TARGET = int(os.environ.get("RGBX_SR_BWD_TARGET", "1920"))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -177,7 +183,7 @@ def _fwd_call(q, k, v, scale, interpret=False):
     M = k.shape[1]
     Mp = _round_up(max(M, 128), 128)
     tn = _tile_n(N)
-    gb = _g_block(G, tn, target=3840)
+    gb = _g_block(G, tn, target=_FWD_TARGET)
     k, v = _pad_kv(k, v, Mp)
     kern = functools.partial(_fwd_kernel, scale=scale, m=M, gb=gb)
     return pl.pallas_call(
@@ -203,7 +209,7 @@ def _bwd_call(q, k, v, g, scale, interpret=False):
     Mp = _round_up(max(M, 128), 128)
     tn = _tile_n(N)
     n_tiles = N // tn
-    gb = _g_block(G, tn)
+    gb = _g_block(G, tn, target=_BWD_TARGET)
     k, v = _pad_kv(k, v, Mp)
     kern = functools.partial(_bwd_kernel, scale=scale, m=M, n_tiles=n_tiles,
                              gb=gb)

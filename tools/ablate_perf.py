@@ -140,6 +140,60 @@ def section_oom():
         print(f"train_step b16 no-remat FAILED: {type(e).__name__}", flush=True)
 
 
+def section_backbones():
+    """Train-step breadth table: every encoder family at the flagship geometry
+    (480x640 b8 bf16, MLPDecoder unless noted). One compile each (~2 min
+    through the tunnel, cached after)."""
+    import dataclasses
+
+    from rgbx_semantic_segmentation_tpu.config import mfnet_config
+
+    rng = np.random.RandomState(0)
+    base = mfnet_config()
+    variants = [
+        ("mit_b0", dict(backbone="mit_b0", decoder_embed_dim=256)),
+        ("mit_b1", dict(backbone="mit_b1", decoder_embed_dim=256)),
+        ("mit_b2 (flagship)", dict()),
+        ("mit_b2pp (IFRM/IFFM)", dict(backbone="mit_b2pp")),
+        ("mit_b4 + remat", dict(backbone="mit_b4", remat=True)),
+        ("swin_s", dict(backbone="swin_s")),
+        ("dual_resnet50", dict(backbone="dual_resnet50")),
+        ("mit_b2 + UPernet", dict(decoder="UPernet")),
+        ("mit_b2 + deeplabv3+", dict(decoder="deeplabv3+")),
+    ]
+    for name, kw in variants:
+        b = 4 if "b4" in name else B
+        cfg = base.replace(model=dataclasses.replace(base.model, **kw))
+        try:
+            ms = train_step_ms(cfg, b, rng)
+            report(f"train_step b{b} {name}", ms, f"{b / ms * 1e3:.1f} img/s")
+        except Exception as e:
+            print(f"train_step {name} FAILED: {type(e).__name__}: {e}",
+                  flush=True)
+
+
+def section_evalbatch():
+    """Serving sweep: whole-image eval forward vs batch size (flagship
+    config). Finds the throughput-optimal --eval_batch."""
+    import jax
+
+    from rgbx_semantic_segmentation_tpu.config import mfnet_config
+    from rgbx_semantic_segmentation_tpu import train as train_lib
+
+    rng = np.random.RandomState(0)
+    cfg = mfnet_config()
+    state = jax.device_put(train_lib.create_train_state(
+        cfg, jax.random.PRNGKey(0)), jax.devices()[0])
+    ev = train_lib.make_eval_step(cfg)
+    for b in (1, 4, 8, 16, 32):
+        batch = make_batch(rng, b)
+        try:
+            ms = timeit(ev, (state, batch["rgb"], batch["modal_x"]))
+            report(f"eval_forward b{b}", ms, f"{b / ms * 1e3:.1f} img/s")
+        except Exception as e:
+            print(f"eval_forward b{b} FAILED: {type(e).__name__}", flush=True)
+
+
 def section_micro():
     import jax
     import jax.numpy as jnp
@@ -249,6 +303,10 @@ def main():
         section_micro()
     elif section == "oom":
         section_oom()
+    elif section == "backbones":
+        section_backbones()
+    elif section == "evalbatch":
+        section_evalbatch()
     else:
         raise SystemExit(f"unknown section {section}")
     print("JSON " + json.dumps(RESULTS), flush=True)
