@@ -71,6 +71,19 @@ def main():
         cfg = cfg.replace(model=dataclasses.replace(cfg.model, **model_kw))
 
     logger = get_logger()
+
+    # -e accepts a trained reference torch checkpoint directly: converted
+    # on the fly (dual-tower EncoderDecoder state dict; every leaf must be
+    # covered). erf GELU is forced for bit-parity with the torch training.
+    pth_path = None
+    if os.path.isfile(args.epochs) and args.epochs.endswith((".pth", ".pt")):
+        pth_path = os.path.abspath(args.epochs)
+        if cfg.model.gelu_approximate:
+            cfg = cfg.replace(model=dataclasses.replace(
+                cfg.model, gelu_approximate=False))
+            logger.info("evaluating a torch checkpoint: gelu_approximate "
+                        "disabled for erf bit-parity")
+
     # Structure-only state (zeros, jax.eval_shape): every leaf is overwritten
     # by the checkpoint restore below; the real init program costs ~60-100 s
     # of XLA:CPU compile for nothing.
@@ -79,7 +92,10 @@ def main():
     # -e accepts a direct checkpoint path (reference evaluator.py:42-81's
     # `-e file.pth` form): either an epoch-numbered Orbax step dir or a
     # checkpoint dir (evaluates its latest epoch).
-    if os.path.exists(args.epochs):
+    if pth_path is not None:
+        mgr = None
+        epochs = [pth_path]
+    elif os.path.exists(args.epochs):
         path = os.path.abspath(args.epochs.rstrip("/"))
         base = os.path.basename(path)
         if base.isdigit():
@@ -115,10 +131,19 @@ def main():
                                            "val_last.log")
     os.makedirs(os.path.dirname(val_log), exist_ok=True)
     for epoch in epochs:
-        st, _ = mgr.restore(state, epoch)
-        variables = {"params": st.params}
-        if st.batch_stats:
-            variables["batch_stats"] = st.batch_stats
+        if mgr is None:
+            from rgbx_semantic_segmentation_tpu import convert
+            init_variables = {"params": state.params}
+            if state.batch_stats:
+                init_variables["batch_stats"] = state.batch_stats
+            variables = convert.load_full_model_checkpoint(epoch,
+                                                           init_variables)
+            epoch = os.path.basename(epoch)
+        else:
+            st, _ = mgr.restore(state, epoch)
+            variables = {"params": st.params}
+            if st.batch_stats:
+                variables["batch_stats"] = st.batch_stats
         # Params restore onto the host CPU (create_train_state inits there);
         # the batched eval shards images onto the mesh — co-locate.
         variables = mesh_lib.replicate(mesh, variables)
@@ -131,7 +156,8 @@ def main():
         logger.info("\n%s\n%s", header, line)
         with open(val_log, "a") as f:
             f.write(header + "\n" + line + "\n")
-    mgr.close()
+    if mgr is not None:
+        mgr.close()
 
 
 if __name__ == "__main__":

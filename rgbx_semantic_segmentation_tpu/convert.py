@@ -223,6 +223,47 @@ _DUPLICATORS = {
 }
 
 
+def missing_leaves(init_vars: FlaxVariables, loaded: FlaxVariables):
+    """Paths of init leaves NOT covered by `loaded` — merge_variables would
+    silently leave these at their init values."""
+    missing = []
+
+    def walk(init_node, loaded_node, path):
+        for k, v in init_node.items():
+            ln = loaded_node.get(k) if isinstance(loaded_node, dict) else None
+            if isinstance(v, dict):
+                walk(v, ln if isinstance(ln, dict) else {}, path + (k,))
+            elif ln is None:
+                missing.append("/".join(path + (k,)))
+
+    for coll, tree in init_vars.items():
+        walk(tree, loaded.get(coll, {}), (coll,))
+    return missing
+
+
+def load_full_model_checkpoint(path: str,
+                               init_vars: FlaxVariables) -> FlaxVariables:
+    """A TRAINED reference EncoderDecoder .pth -> complete flax variables
+    (params + batch_stats), for evaluating reference-trained models here
+    (eval_cli -e model.pth). Unlike load_dualpath_pretrained (backbone-only,
+    strict=False), EVERY model leaf must be covered by the checkpoint — a key
+    the converter failed to map would otherwise silently evaluate at its init
+    value. Strips a DDP 'module.' prefix if present (the reference's own
+    save strips it, engine/engine.py:92-96; checkpoints saved by plain
+    torch.save(model.state_dict()) keep it)."""
+    sd = load_torch_checkpoint(path)
+    sd = {(k[len("module."):] if k.startswith("module.") else k): v
+          for k, v in sd.items()}
+    loaded = torch_to_flax_variables(sd)
+    miss = missing_leaves(init_vars, loaded)
+    if miss:
+        preview = ", ".join(miss[:8]) + ("..." if len(miss) > 8 else "")
+        raise KeyError(
+            f"{len(miss)} model leaves missing from {path}: {preview} — "
+            f"check --backbone/--decoder match the checkpoint's config")
+    return merge_variables(init_vars, loaded, strict=True)
+
+
 def load_dualpath_pretrained(path: str, init_vars: FlaxVariables,
                              backbone_scope: str = "backbone",
                              family: str = "mit") -> FlaxVariables:

@@ -34,6 +34,53 @@ def tiny_setup(tmp_path_factory):
     return cfg, log_dir
 
 
+def test_eval_cli_torch_checkpoint(tiny_setup, monkeypatch, tmp_path):
+    """eval_cli -e model.pth: a trained reference EncoderDecoder checkpoint is
+    converted on the fly and evaluated (conversion contract:
+    convert.load_full_model_checkpoint)."""
+    import torch
+
+    from tests.conftest import reference_path
+
+    cfg, log_dir = tiny_setup
+    reference_path()
+    from easydict import EasyDict
+    from models.builder import EncoderDecoder as RefModel
+
+    ref_cfg = EasyDict(dict(
+        backbone="mit_b0", decoder="MLPDecoder", decoder_embed_dim=64,
+        num_classes=cfg.dataset.num_classes, pretrained_model=None,
+        bn_eps=1e-3, bn_momentum=0.1))
+    tmod = RefModel(cfg=ref_cfg, criterion=None,
+                    norm_layer=torch.nn.BatchNorm2d)
+    # save in the reference's checkpoint format (engine/engine.py:88-103)
+    pth = str(tmp_path / "epoch-last.pth")
+    torch.save({"model": tmod.state_dict(), "epoch": 7}, pth)
+
+    def fake_get_config(name, **kw):
+        return cfg
+
+    import rgbx_semantic_segmentation_tpu.config as cfg_mod
+    monkeypatch.setattr(cfg_mod, "get_config", fake_get_config)
+    val_log = str(tmp_path / "val_pth.log")
+    monkeypatch.setattr(sys, "argv", ["eval_cli.py", "--config", "tiny",
+                                      "-e", pth, "--val_log", val_log])
+    eval_cli.main()
+    content = open(val_log).read()
+    assert "mean_IoU" in content
+    assert "epoch-last.pth" in content
+
+    # a checkpoint that doesn't cover the model errors loudly, not silently
+    sd = {k: v for k, v in tmod.state_dict().items()
+          if "decode_head" not in k}
+    pth_bad = str(tmp_path / "partial.pth")
+    torch.save({"model": sd}, pth_bad)
+    monkeypatch.setattr(sys, "argv", ["eval_cli.py", "--config", "tiny",
+                                      "-e", pth_bad, "--val_log", val_log])
+    with pytest.raises(KeyError, match="missing"):
+        eval_cli.main()
+
+
 def test_train_then_eval_cli(tiny_setup, monkeypatch, capsys):
     cfg, log_dir = tiny_setup
 
