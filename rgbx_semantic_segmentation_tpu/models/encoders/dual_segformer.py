@@ -301,9 +301,15 @@ class RGBXTransformer(nn.Module):
             m_e = x_e.reshape(B, H, W, dim)
             m_rgb, m_e = frm_cls(dim=dim, reduction=1, dtype=self.dtype,
                                  name=f"FRMs_{s}")(m_rgb, m_e, train)
-            fused = ffm_cls(dim=dim, reduction=1, num_heads=self.num_heads[s],
-                            bn_momentum=self.bn_momentum, bn_eps=self.bn_eps,
-                            dtype=self.dtype, name=f"FFMs_{s}")(m_rgb, m_e, train)
+            ffm_kw = dict(dim=dim, reduction=1, num_heads=self.num_heads[s],
+                          bn_momentum=self.bn_momentum, bn_eps=self.bn_eps,
+                          dtype=self.dtype)
+            if self.ffm == "IFFM":
+                # IFFM's quadratic cross-attention needs the fused kernels to
+                # fit at production resolution (fusion.py ImprovedCrossAttention
+                # docstring); plain FFM has no such knob.
+                ffm_kw["use_pallas"] = self.use_pallas
+            fused = ffm_cls(**ffm_kw, name=f"FFMs_{s}")(m_rgb, m_e, train)
             if self.aspp == "aspp":
                 from rgbx_semantic_segmentation_tpu.models.encoders.aspp import (
                     STAGE_ASPP_RATES, StageASPP)

@@ -219,13 +219,24 @@ class CrossAttention(nn.Module):
 
 class ImprovedCrossAttention(nn.Module):
     """Standard softmax cross-attention q1*k2^T -> v2 / q2*k1^T -> v1 with q/kv/out
-    projections + dropout (net_utils.py:216-257)."""
+    projections + dropout (net_utils.py:216-257).
+
+    Unlike the linear CrossAttention, this is QUADRATIC in tokens: at stage-1
+    480x640 geometry (N = M = 19200) the naive probs tensor is f32[8,1,19200,
+    19200] = 11 GB — the reference (and a naive einsum here) cannot even
+    compile the 'pp' variants at the published training resolution. With
+    use_pallas the attention middle dispatches through the fused kernels
+    (flash for long kv, the short-kv SR kernel for small stages) and HBM never
+    sees an (N, M) tensor; the XLA fallback keeps the bf16-residual custom
+    VJP. Dropout between softmax and the v-matmul (attn_drop > 0 in train
+    mode) forces the materialising path — every reference config leaves it 0."""
 
     dim: int
     num_heads: int = 8
     qkv_bias: bool = False
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    use_pallas: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -250,6 +261,15 @@ class ImprovedCrossAttention(nn.Module):
         proj_dropout = nn.Dropout(self.proj_drop, deterministic=not train)
 
         def attend(q, k, v):
+            if self.attn_drop == 0.0 or not train:
+                from rgbx_semantic_segmentation_tpu.ops.attention import (
+                    multi_head_attention)
+                from rgbx_semantic_segmentation_tpu.ops.sharding import (
+                    _active_mesh)
+                # Kernels only outside a mesh (pallas_call has no GSPMD rule);
+                # under a mesh XLA's partitioned _sdpa runs on per-shard rows.
+                fused = self.use_pallas and _active_mesh() is None
+                return multi_head_attention(q, k, v, scale, use_pallas=fused)
             a = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                            preferred_element_type=jnp.float32) * scale
             a = jax.nn.softmax(a, axis=-1).astype(v.dtype)
@@ -300,6 +320,7 @@ class ImprovedCrossPath(nn.Module):
     dim: int
     reduction: int = 1
     num_heads: int = 8
+    use_pallas: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -311,7 +332,9 @@ class ImprovedCrossPath(nn.Module):
                      approximate=False)
         y1, u1 = jnp.split(p1, 2, axis=-1)
         y2, u2 = jnp.split(p2, 2, axis=-1)
-        v1, v2 = ImprovedCrossAttention(inner, self.num_heads, dtype=self.dtype,
+        v1, v2 = ImprovedCrossAttention(inner, self.num_heads,
+                                        use_pallas=self.use_pallas,
+                                        dtype=self.dtype,
                                         name="cross_attn")(u1, u2, train)
         y1 = jnp.concatenate([y1, v1], axis=-1)
         y2 = jnp.concatenate([y2, v2], axis=-1)
@@ -389,6 +412,7 @@ class ImprovedFeatureFusionModule(nn.Module):
     num_heads: int = 8
     bn_momentum: float = 0.1
     bn_eps: float = 1e-5
+    use_pallas: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -397,6 +421,7 @@ class ImprovedFeatureFusionModule(nn.Module):
         t1 = x1.reshape(B, H * W, C)
         t2 = x2.reshape(B, H * W, C)
         t1, t2 = ImprovedCrossPath(self.dim, self.reduction, self.num_heads,
+                                   use_pallas=self.use_pallas,
                                    dtype=self.dtype, name="cross")(t1, t2, train)
         merge = jnp.concatenate([t1, t2], axis=-1)
         return ChannelEmbed(self.dim * 2, self.dim, self.reduction,

@@ -76,10 +76,15 @@ def _flash_attention(q, k, v, scale: float):
         return n
 
     bq = _block(Np)
+    # kv tiling: whole kv in one major block only while it fits scoped VMEM
+    # (the SR encoder shapes, M <= ~1k). Long kv (the IFFM cross-attention,
+    # M = N = 19200 at stage 1) must stream k in tiles — one 19200-token major
+    # block is a 20.6 MB scoped allocation and fails compile (> 16 MB VMEM).
+    bk = Mp if Mp <= 1024 else _block(Mp)
     bs = BlockSizes(
-        block_q=bq, block_k_major=Mp, block_k=Mp, block_b=1,
-        block_q_major_dkv=bq, block_k_major_dkv=Mp, block_k_dkv=Mp,
-        block_q_dkv=bq, block_k_major_dq=Mp, block_k_dq=Mp, block_q_dq=bq)
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
+        block_q_dkv=bq, block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq)
     out = flash_attention(q, k, v, segment_ids=segment_ids, sm_scale=scale,
                           block_sizes=bs)
     return out[:, :, :N, :]

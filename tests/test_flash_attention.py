@@ -32,3 +32,38 @@ def test_xla_path_matches_manual():
 def test_round_up():
     assert attention._round_up(300, 128) == 384
     assert attention._round_up(19200, 128) == 19200
+
+
+def test_improved_cross_attention_fused_dispatch_matches_naive():
+    """ImprovedCrossAttention.use_pallas routes through the custom-VJP _sdpa
+    (kernels gate closed off-TPU) — identical params and identical output to
+    the materialising einsum path. This is the wiring that makes the 'pp'
+    variants trainable at 480x640 (the naive probs tensor is f32[8,19200,19200]
+    = 11 GB; measured OOM at compile, fixed by the fused dispatch)."""
+    from rgbx_semantic_segmentation_tpu.models import fusion
+
+    rng = np.random.RandomState(1)
+    B, N, C = 2, 48, 32
+    x1 = jnp.asarray(rng.randn(B, N, C), jnp.float32)
+    x2 = jnp.asarray(rng.randn(B, N, C), jnp.float32)
+    mod_naive = fusion.ImprovedCrossAttention(C, num_heads=4, use_pallas=False)
+    mod_fused = fusion.ImprovedCrossAttention(C, num_heads=4, use_pallas=True)
+    params = mod_naive.init(jax.random.PRNGKey(0), x1, x2)
+    # Same param tree: use_pallas changes compute dispatch only.
+    y1n, y2n = mod_naive.apply(params, x1, x2)
+    y1f, y2f = mod_fused.apply(params, x1, x2)
+    np.testing.assert_allclose(np.asarray(y1f), np.asarray(y1n), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y2f), np.asarray(y2n), atol=1e-5)
+    # Gradients flow through the custom-VJP path.
+    def loss(p):
+        a, b = mod_fused.apply(p, x1, x2)
+        return jnp.sum(a ** 2) + jnp.sum(b ** 2)
+    g = jax.grad(loss)(params)
+    assert all(np.isfinite(x).all() for x in jax.tree_util.tree_leaves(g))
+
+
+def test_long_kv_block_sizes_tile_k():
+    """Long-kv flash calls must tile k: one 19200-token kv major block is a
+    20.6 MB scoped VMEM allocation (> 16 MB limit, measured compile failure).
+    Short kv keeps the whole-kv single block (measured faster at SR shapes)."""
+    assert attention._round_up(19200, 128) % 768 == 0  # the tiled bk divides

@@ -157,7 +157,7 @@ def section_backbones():
         ("mit_b2pp (IFRM/IFFM)", dict(backbone="mit_b2pp")),
         ("mit_b4 + remat", dict(backbone="mit_b4", remat=True)),
         ("swin_s", dict(backbone="swin_s")),
-        ("dual_resnet50", dict(backbone="dual_resnet50")),
+        ("dual_resnet50", dict(backbone="resnet50")),
         ("mit_b2 + UPernet", dict(decoder="UPernet")),
         ("mit_b2 + deeplabv3+", dict(decoder="deeplabv3+")),
     ]
