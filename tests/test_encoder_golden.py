@@ -126,3 +126,35 @@ def test_encoder_decoder_shapes():
     variables = model.init(jax.random.PRNGKey(0), rgb, mx)
     logits = model.apply(variables, rgb, mx)
     assert logits.shape == (1, 64, 80, 9)
+
+
+def test_mit_b0pp_forward_golden():
+    """pp variant (hardwired IFRM/IFFM, reference dual_segformerpp.py:314-324)
+    through the encoder — covers the assembly-level wiring of the Improved
+    fusion modules incl. the fused-attention dispatch in ImprovedCrossAttention
+    (use_pallas=True; off-TPU it runs the custom-VJP _sdpa, same numerics).
+    The reference builder cannot even construct this encoder (nothing imports
+    dual_segformerpp); the module-level goldens in test_fusion_golden.py cover
+    IFRM/IFFM in isolation, this covers their in-tower composition."""
+    import jax
+    reference_path()
+    from models.encoders.dual_segformerpp import mit_b0 as ref_factory
+    from rgbx_semantic_segmentation_tpu.models.encoders.dual_segformer import (
+        mit_b0)
+
+    tmod = ref_factory()
+    tmod.eval()
+    rng = np.random.RandomState(4)
+    rgb = rng.randn(1, 64, 64, 3).astype(np.float32)
+    mx = rng.randn(1, 64, 64, 3).astype(np.float32)
+    fmod = mit_b0(frm="IFRM", ffm="IFFM", use_pallas=True)
+    variables = fmod.init(jax.random.PRNGKey(0), rgb, mx)
+    loaded = convert.torch_to_flax_variables(tmod.state_dict())
+    variables = convert.merge_variables(variables, loaded, strict=True)
+    outs = fmod.apply(variables, rgb, mx)
+    with torch.no_grad():
+        refs = tmod(_nchw(rgb), _nchw(mx))
+    assert len(outs) == 4
+    for i, (got, ref) in enumerate(zip(outs, refs)):
+        np.testing.assert_allclose(np.asarray(got), _nhwc(ref), atol=2e-3,
+                                   err_msg=f"stage {i}")
