@@ -176,6 +176,7 @@ def section_evalbatch():
     """Serving sweep: whole-image eval forward vs batch size (flagship
     config). Finds the throughput-optimal --eval_batch."""
     import jax
+    import jax.numpy as jnp
 
     from rgbx_semantic_segmentation_tpu.config import mfnet_config
     from rgbx_semantic_segmentation_tpu import train as train_lib
@@ -185,11 +186,21 @@ def section_evalbatch():
     state = jax.device_put(train_lib.create_train_state(
         cfg, jax.random.PRNGKey(0)), jax.devices()[0])
     ev = train_lib.make_eval_step(cfg)
+
+    # Time the real serving path: device argmax + uint8 preds. Timing the raw
+    # logits forward instead measures the harness, not the model — 15 queued
+    # executions each pin an 88 MB (b8 fp32) output buffer, and the axon
+    # tunnel's flow control serializes on them (measured 132 ms/b8 vs the
+    # true 30 ms; b16 read an absurd 818 ms).
+    @jax.jit
+    def ev_pred(state, rgb, modal_x):
+        return jnp.argmax(ev(state, rgb, modal_x), axis=-1).astype(jnp.uint8)
+
     for b in (1, 4, 8, 16, 32):
         batch = make_batch(rng, b)
         try:
-            ms = timeit(ev, (state, batch["rgb"], batch["modal_x"]))
-            report(f"eval_forward b{b}", ms, f"{b / ms * 1e3:.1f} img/s")
+            ms = timeit(ev_pred, (state, batch["rgb"], batch["modal_x"]))
+            report(f"eval_pred b{b}", ms, f"{b / ms * 1e3:.1f} img/s")
         except Exception as e:
             print(f"eval_forward b{b} FAILED: {type(e).__name__}", flush=True)
 

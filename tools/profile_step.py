@@ -22,7 +22,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_traced(out_dir: str, batch: int = 8):
+def run_traced(out_dir: str, batch: int = 8, backbone: str = None,
+               decoder: str = None):
+    import dataclasses
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", os.path.join(
@@ -34,6 +37,13 @@ def run_traced(out_dir: str, batch: int = 8):
     from rgbx_semantic_segmentation_tpu import train as train_lib
 
     cfg = mfnet_config()
+    model_kw = {}
+    if backbone:
+        model_kw["backbone"] = backbone
+    if decoder:
+        model_kw["decoder"] = decoder
+    if model_kw:
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model, **model_kw))
     rng = np.random.RandomState(0)
     b = {
         "rgb": jax.device_put(rng.randn(batch, 480, 640, 3).astype(np.float32)),
@@ -101,11 +111,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--backbone", default=None)
+    ap.add_argument("--decoder", default=None)
+    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--parse-only", action="store_true")
     args = ap.parse_args()
     out = args.out or "/tmp/trace_base"
     if not args.parse_only:
-        run_traced(out)
+        run_traced(out, batch=args.batch, backbone=args.backbone,
+                   decoder=args.decoder)
     parse(out, args.top)
 
 
