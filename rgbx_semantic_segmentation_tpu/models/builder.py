@@ -107,6 +107,8 @@ def build_backbone(cfg: Config, dtype=None) -> Tuple[nn.Module, Sequence[int]]:
         kw["use_pallas"] = cfg.model.use_pallas_kernels
         kw["remat"] = cfg.model.remat
         kw["gelu_approximate"] = cfg.model.gelu_approximate
+    if name.startswith("swin"):
+        kw["use_pallas"] = cfg.model.use_pallas_kernels
     kw.update(overrides)
     module = factory(dtype=dtype, name="backbone", **kw)
     return module, channels

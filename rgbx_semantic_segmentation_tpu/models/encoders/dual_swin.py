@@ -8,8 +8,12 @@ FFM fusion of the per-stage outputs (reference :644-678). Variants swin_s
 (reference :686-697).
 
 TPU-first notes: NHWC layout; the shifted-window attention masks and relative
-position indices are compile-time numpy constants; window partition/reverse are
-pure reshapes that XLA folds into the attention kernel's layout.
+position indices are compile-time numpy constants. Window attention runs on the
+whole (B, Hp, Wp, C) image through free views (Hp=(i ws), Wp=(j ws)) and
+multi-batch-dim einsums — the reference's partition/reverse 6-D transposes are
+never materialized (they cost 110 ms/step in XLA `copy` ops when expressed
+literally; profiled, see docs/PERF.md "Swin"). `window_partition`/
+`window_reverse` remain for the golden tests' legacy (B_, N, C) path.
 """
 from __future__ import annotations
 
@@ -22,6 +26,7 @@ from flax import linen as nn
 
 from rgbx_semantic_segmentation_tpu.models import fusion
 from rgbx_semantic_segmentation_tpu.ops import layers as L
+from rgbx_semantic_segmentation_tpu.ops import window_attention as WA
 
 Dtype = Any
 
@@ -95,30 +100,90 @@ class WindowAttention(nn.Module):
     qkv_bias: bool = True
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    use_pallas: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, mask: Optional[np.ndarray] = None,
                  train: bool = False):
-        B_, N, C = x.shape
+        """Two input forms, same params/math:
+
+        - (B, Hp, Wp, C) whole padded/rolled image — the fused-kernel path
+          (caller gates on `use_pallas` + WA.usable): qkv projects on the
+          image, ONE transpose packs (slice-major, batch-inner) kernel
+          layout, the qk+bias+softmax+dropout+pv middle runs in
+          ops/window_attention.py (probs never touch HBM), one transpose
+          restores image layout. P windows along the i axis share a slice
+          block-diagonally (WA.pack_factor).
+        - (B_, N, C) pre-partitioned windows — the reference XLA composition
+          (dual_swin.py:117-155), the fallback and golden-test path.
+
+        An 8-D "transpose-free" einsum formulation was tried and rejected:
+        XLA pads its (b,i,j,h,7,7,7,7) probs layout 23->128 lanes (95 MB ->
+        506 MB per block, compile-time OOM).
+        """
+        C = x.shape[-1]
         h = self.num_heads
         d = C // h
         scale = d ** -0.5
         ws = self.window_size
-        qkv = L.dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
-                      name="qkv")(x).reshape(B_, N, 3, h, d)
+        N = ws * ws
+        qkv_dense = L.dense(self.dim * 3, use_bias=self.qkv_bias,
+                            dtype=self.dtype, name="qkv")
+        proj_dense = L.dense(self.dim, dtype=self.dtype, name="proj")
+        table = self.param("relative_position_bias_table", L.trunc_normal_init,
+                           ((2 * ws - 1) * (2 * ws - 1), h))
+        idx = _relative_position_index(ws).reshape(-1)
+        bias = table[idx].reshape(N, N, h).transpose(2, 0, 1)   # (h, N, N)
+
+        if x.ndim == 4:
+            B, Hp, Wp, C = x.shape
+            ni, nj = Hp // ws, Wp // ws
+            nW = ni * nj
+            P = WA.pack_factor(ni, N)
+            nip = ni // P
+            G = nip * nj * h
+            qkv = qkv_dense(x).reshape(B, nip, P, ws, nj, ws, 3, h, d)
+            qkv = qkv.transpose(1, 4, 7, 6, 0, 2, 3, 5, 8).reshape(
+                G, 3, B, P * N, d)
+            if mask is not None:
+                comb = jnp.asarray(mask)[:, None] + bias[None]  # (nW, h, N, N)
+            else:
+                comb = jnp.broadcast_to(bias[None], (nW, h, N, N))
+            comb = (comb.reshape(nip, P, nj, h, N, N)
+                    .transpose(0, 2, 3, 1, 4, 5)
+                    .reshape(G, P, N, N).astype(jnp.float32))
+            rate = self.attn_drop if train else 0.0
+            if rate > 0.0:
+                key = self.make_rng("dropout")
+                seed = jax.random.randint(
+                    key, (1,), jnp.iinfo(jnp.int32).min,
+                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            plan = WA.mesh_plan(B)  # non-None: SwinBlock's dispatch gate
+            if plan[0] == "direct":
+                out = WA.window_attention(qkv, comb, seed, scale, rate,
+                                          plan[2])
+            else:
+                mesh, data_axis = plan[1]
+                out = WA.window_attention_sharded(
+                    qkv, comb, seed, scale, rate, mesh, data_axis,
+                    interpret=plan[2])
+            out = (out.reshape(nip, nj, h, B, P, ws, ws, d)
+                   .transpose(3, 0, 4, 5, 1, 6, 2, 7)
+                   .reshape(B, Hp, Wp, C))
+            out = proj_dense(out)
+            return nn.Dropout(self.proj_drop, deterministic=not train)(out)
+
+        B_, N, C = x.shape
+        qkv = qkv_dense(x).reshape(B_, N, 3, h, d)
         q = qkv[:, :, 0].transpose(0, 2, 1, 3) * scale
         k = qkv[:, :, 1].transpose(0, 2, 1, 3)
         v = qkv[:, :, 2].transpose(0, 2, 1, 3)
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                           preferred_element_type=jnp.float32)
-
-        table = self.param("relative_position_bias_table", L.trunc_normal_init,
-                           ((2 * ws - 1) * (2 * ws - 1), h))
-        idx = _relative_position_index(ws).reshape(-1)
-        bias = table[idx].reshape(N, N, h).transpose(2, 0, 1)
         attn = attn + bias[None].astype(attn.dtype)
-
         if mask is not None:
             nW = mask.shape[0]
             m = jnp.asarray(mask)
@@ -129,7 +194,7 @@ class WindowAttention(nn.Module):
         out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(v.dtype), v,
                          preferred_element_type=jnp.float32)
         out = out.astype(v.dtype).transpose(0, 2, 1, 3).reshape(B_, N, C)
-        out = L.dense(self.dim, dtype=self.dtype, name="proj")(out)
+        out = proj_dense(out)
         return nn.Dropout(self.proj_drop, deterministic=not train)(out)
 
 
@@ -145,6 +210,7 @@ class SwinBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    use_pallas: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -163,11 +229,17 @@ class SwinBlock(nn.Module):
             mask = _shift_attn_mask(Hp, Wp, ws, self.shift_size)
         else:
             mask = None
-        windows = window_partition(y, ws)
-        attn_out = WindowAttention(
+        attn_mod = WindowAttention(
             self.dim, ws, self.num_heads, self.qkv_bias, self.attn_drop,
-            self.drop, dtype=self.dtype, name="attn")(windows, mask, train)
-        y = window_reverse(attn_out, ws, Hp, Wp)
+            self.drop, use_pallas=self.use_pallas, dtype=self.dtype,
+            name="attn")
+        if (self.use_pallas and WA.usable(ws * ws, C // self.num_heads)
+                and WA.mesh_plan(x.shape[0]) is not None):
+            y = attn_mod(y, mask, train)           # whole-image kernel path
+        else:
+            windows = window_partition(y, ws)
+            attn_out = attn_mod(windows, mask, train)
+            y = window_reverse(attn_out, ws, Hp, Wp)
         if self.shift_size > 0:
             y = jnp.roll(y, (self.shift_size, self.shift_size), axis=(1, 2))
         if pad_b or pad_r:
@@ -195,6 +267,7 @@ class BasicLayer(nn.Module):
     attn_drop: float = 0.0
     drop_path: Sequence[float] = (0.0,)
     remat: bool = False
+    use_pallas: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -206,7 +279,8 @@ class BasicLayer(nn.Module):
                 shift_size=0 if i % 2 == 0 else self.window_size // 2,
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                 drop=self.drop, attn_drop=self.attn_drop,
-                drop_path=self.drop_path[i], dtype=self.dtype,
+                drop_path=self.drop_path[i], use_pallas=self.use_pallas,
+                dtype=self.dtype,
                 name=f"blocks_{i}")
             x = blk(x, H, W, train)
         return x
@@ -289,6 +363,7 @@ class DualSwinTransformer(nn.Module):
     ffm: str = "FFM"
     bn_momentum: float = 0.1
     bn_eps: float = 1e-5
+    use_pallas: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -330,7 +405,7 @@ class DualSwinTransformer(nn.Module):
                       window_size=self.window_size, mlp_ratio=self.mlp_ratio,
                       qkv_bias=self.qkv_bias, drop=self.drop_rate,
                       attn_drop=self.attn_drop_rate, drop_path=tuple(dp),
-                      dtype=self.dtype)
+                      use_pallas=self.use_pallas, dtype=self.dtype)
             x = BasicLayer(**kw, name=f"layers_{i}")(x, H, W, layer_train)
             x_d = BasicLayer(**kw, name=f"layers_d_{i}")(x_d, H, W, layer_train)
 

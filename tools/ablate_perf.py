@@ -161,7 +161,10 @@ def section_backbones():
         ("mit_b2 + UPernet", dict(decoder="UPernet")),
         ("mit_b2 + deeplabv3+", dict(decoder="deeplabv3+")),
     ]
+    only = os.environ.get("RGBX_ABL_ONLY")
     for name, kw in variants:
+        if only and only not in name:
+            continue
         b = 4 if "b4" in name else B
         cfg = base.replace(model=dataclasses.replace(base.model, **kw))
         try:
