@@ -37,6 +37,12 @@ def main():
                              "protocol is whole-image (sliding-window images "
                              "fall back per-image); 1 disables batching")
     parser.add_argument("--val_log", default=None)
+    parser.add_argument("-d", "--devices", default="",
+                        help="device selection for the eval mesh, e.g. "
+                             "'0,2-5' or '*' (reference eval.py:88)")
+    parser.add_argument("-v", "--verbose", action="store_true",
+                        help="log the running metric after every image "
+                             "(reference eval.py:89, evaluator.py:138-143)")
     args = parser.parse_args()
 
     import dataclasses
@@ -121,7 +127,12 @@ def main():
     # reference's multi-GPU eval process fan-out (evaluator.py:117-163) as
     # sharded batch inference.
     from rgbx_semantic_segmentation_tpu.parallel import mesh as mesh_lib
-    mesh = mesh_lib.make_mesh()
+    devices = None
+    if args.devices:
+        from rgbx_semantic_segmentation_tpu.utils.fs import parse_devices
+        all_devices = jax.devices()
+        devices = [all_devices[i] for i in parse_devices(args.devices)]
+    mesh = mesh_lib.make_mesh(devices)
     evaluator = SegEvaluator(cfg, state.apply_fn, mesh=mesh)
     show_dir = None
     if args.show_image:
@@ -151,7 +162,8 @@ def main():
                                           save_path=args.save_path,
                                           logger=logger,
                                           eval_batch=args.eval_batch,
-                                          show_image_dir=show_dir)
+                                          show_image_dir=show_dir,
+                                          verbose=args.verbose)
         header = f"======= epoch {epoch} ======="
         logger.info("\n%s\n%s", header, line)
         with open(val_log, "a") as f:

@@ -175,7 +175,7 @@ class SegEvaluator:
 
     def evaluate(self, variables, dataset, save_path: Optional[str] = None,
                  logger=None, eval_batch: int = 1,
-                 show_image_dir: Optional[str] = None
+                 show_image_dir: Optional[str] = None, verbose: bool = False
                  ) -> Tuple[metrics_lib.Scores, str]:
         """Evaluate a whole dataset; returns (scores, formatted result line)
         (reference eval.py:23-83).
@@ -210,6 +210,12 @@ class SegEvaluator:
             if show_image_dir is not None:
                 self._save_composite(pred, item, show_image_dir)
             done += 1
+            if verbose and logger is not None:
+                # Reference -v recomputes the running metric after every image
+                # (evaluator.py:138-143).
+                s = metrics_lib.compute_score(hist, correct, labeled)
+                logger.info("  %s: running mIoU %.4f acc %.4f",
+                            item.get("fn", done), s.mean_iou, s.pixel_acc)
             if logger is not None and done - last_log >= 25:
                 last_log = done
                 logger.info("eval %d/%d (%.2f img/s)", done, n,

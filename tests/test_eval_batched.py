@@ -64,3 +64,28 @@ def test_mesh_sharded_eval_matches(setup):
     # 5 val images -> one full group of 4 (sharded when divisible) + remainder
     s8, _ = ev8.evaluate(variables, val.dataset, eval_batch=4)
     assert s1.mean_iou == pytest.approx(s8.mean_iou, abs=1e-6)
+
+
+def test_verbose_logs_running_metric(setup):
+    """eval -v parity (reference eval.py:89, evaluator.py:138-143): a running
+    metric line per image, without changing the final scores."""
+    import logging
+
+    cfg, state, variables = setup
+    val = ValLoader(cfg)
+    ev = SegEvaluator(cfg, state.apply_fn)
+    logger = logging.getLogger("test_verbose_eval")
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    logger.addHandler(Capture())
+    logger.setLevel(logging.INFO)
+    s_quiet, _ = ev.evaluate(variables, val.dataset)
+    s_verb, _ = ev.evaluate(variables, val.dataset, logger=logger,
+                            verbose=True)
+    assert s_quiet.mean_iou == pytest.approx(s_verb.mean_iou, abs=1e-6)
+    running = [m for m in records if "running mIoU" in m]
+    assert len(running) == len(val.dataset)

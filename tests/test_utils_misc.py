@@ -72,14 +72,28 @@ def test_metrics_writer(tmp_path):
     assert lines[0]["value"] == 1.5
 
 
-def test_logger_levels(capsys):
+def test_logger_levels():
+    # The process-wide logger is created once and its StreamHandler binds the
+    # stderr object live at creation time, so capsys (which swaps sys.stderr
+    # per-test) can't see the output when another test created the logger
+    # first. Capture through an attached handler instead — order-independent.
+    import io
+    import logging
+
     from rgbx_semantic_segmentation_tpu.logger import get_logger
 
     logger = get_logger()
-    logger.info("hello-info")
-    # stream handler writes to stderr by default
-    captured = capsys.readouterr()
-    assert "hello-info" in captured.err or "hello-info" in captured.out
+    buf = io.StringIO()
+    handler = logging.StreamHandler(buf)
+    logger.addHandler(handler)
+    try:
+        logger.info("hello-info")
+        logger.debug("hello-debug")  # below the default INFO level
+    finally:
+        logger.removeHandler(handler)
+    out = buf.getvalue()
+    assert "hello-info" in out
+    assert "hello-debug" not in out
 
 
 def test_preemption_handler_saves_checkpoint(tmp_path):
