@@ -28,7 +28,7 @@ from rgbx_semantic_segmentation_tpu.ops import layers as L
 from rgbx_semantic_segmentation_tpu.ops.attention import multi_head_attention
 from rgbx_semantic_segmentation_tpu.ops.sharding import axis_size, constrain
 
-DATA, SPATIAL = "data", "spatial"  # mesh axis names (parallel/mesh.py)
+DATA, SPATIAL, MODEL = "data", "spatial", "model"  # mesh axes (parallel/mesh.py)
 
 Dtype = Any
 
@@ -65,11 +65,19 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x, H: int, W: int, train: bool = False):
+        # Under a (data x model) TP mesh (parallel/mesh.make_mesh_dp_tp) the
+        # hidden activation stays split on 'model' from fc1 through the
+        # depthwise conv and GELU; fc2 contracts the split dim and GSPMD
+        # all-reduces the partial outputs. The pins keep the partitioner from
+        # re-gathering the hidden between ops; no-ops on other meshes.
         x = L.dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
+        x = constrain(x, DATA, None, MODEL)
         x = DWConv(self.hidden_features, dtype=self.dtype, name="dwconv")(x, H, W)
+        x = constrain(x, DATA, None, MODEL)
         x = nn.gelu(x, approximate=self.gelu_approximate)
         x = nn.Dropout(self.drop, deterministic=not train)(x)
         x = L.dense(self.in_features, dtype=self.dtype, name="fc2")(x)
+        x = constrain(x, DATA)
         x = nn.Dropout(self.drop, deterministic=not train)(x)
         return x
 

@@ -19,6 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 SPATIAL_AXIS = "spatial"
+MODEL_AXIS = "model"
 
 
 def make_mesh(devices: Optional[Sequence] = None,
@@ -50,6 +51,69 @@ def make_mesh_2d(data: int, spatial: int,
 def spatial_batch_sharding(mesh: Mesh) -> NamedSharding:
     """(B, H, ...) arrays: batch on 'data', height on 'spatial'."""
     return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
+
+
+def make_mesh_dp_tp(data: int, model: int,
+                    devices: Optional[Sequence] = None) -> Mesh:
+    """2-D (data x model) mesh: batch sharded on 'data', the transformer MLP
+    hidden dimension tensor-split on 'model' (megatron-style column-then-row
+    parallel Mix-FFN: fc1 kernel split on its output dim, the depthwise conv
+    and GELU local to the shard, fc2 kernel split on its input dim with the
+    partial outputs all-reduced by GSPMD). Additive beyond the reference's
+    data-parallel-only runtime — lets models whose activations exceed one
+    chip's HBM at a given batch train across chips without remat."""
+    if devices is None:
+        devices = jax.devices()
+    assert len(devices) >= data * model, (
+        f"need {data * model} devices, have {len(devices)}")
+    grid = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def _tp_spec(path: str, leaf, model: int) -> P:
+    """PartitionSpec for one state leaf under tensor parallelism.
+
+    Rules target the Mix-FFN / MLP naming contract (fc1/dwconv/fc2 — both the
+    MiT Mix-FFN and the Swin MLP use it, mirroring the reference modules):
+      fc1 kernel (C, hidden)       -> split hidden (column parallel)
+      fc1 / dwconv bias (hidden,)  -> split
+      dwconv kernel (3,3,1,hidden) -> split hidden
+      fc2 kernel (hidden, C)       -> split hidden (row parallel; outputs
+                                      partial-summed by GSPMD)
+    Everything else (attention, convs, norms, fc2 bias, optimizer scalars)
+    replicates. Leaves whose hidden dim doesn't divide the model axis stay
+    replicated — the same decision falls out for every leaf of one layer
+    because they share the hidden dim. Optimizer moments (mu/nu) mirror the
+    param tree paths, so the same rules shard them identically."""
+    def ok(dim):
+        return leaf.shape[dim] % model == 0
+
+    is_kernel = path.endswith("'kernel']")
+    is_bias = path.endswith("'bias']")
+    if "fc1" in path:
+        if is_kernel and leaf.ndim == 2 and ok(1):
+            return P(None, MODEL_AXIS)
+        if is_bias and leaf.ndim == 1 and ok(0):
+            return P(MODEL_AXIS)
+    if "dwconv" in path:
+        if is_kernel and leaf.ndim == 4 and ok(3):
+            return P(None, None, None, MODEL_AXIS)
+        if is_bias and leaf.ndim == 1 and ok(0):
+            return P(MODEL_AXIS)
+    if "fc2" in path and is_kernel and leaf.ndim == 2 and ok(0):
+        return P(MODEL_AXIS, None)
+    return P()
+
+
+def shard_state_tp(mesh: Mesh, tree):
+    """Place a train state on a (data x model) mesh per `_tp_spec`."""
+    m = mesh.shape[MODEL_AXIS]
+
+    def put(path, x):
+        spec = _tp_spec(jax.tree_util.keystr(path), x, m)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(put, tree)
 
 
 def make_mesh_for_batch(global_batch: int,

@@ -218,7 +218,12 @@ class Trainer:
         with self.mesh:
             state = (create_train_state(cfg, rng) if init_values
                      else create_eval_state(cfg))
-        self.state = mesh_lib.replicate(self.mesh, state)
+        if mesh_lib.MODEL_AXIS in self.mesh.axis_names:
+            # Tensor parallelism: MLP hidden-dim leaves split on 'model'
+            # (parallel/mesh.shard_state_tp), everything else replicated.
+            self.state = mesh_lib.shard_state_tp(self.mesh, state)
+        else:
+            self.state = mesh_lib.replicate(self.mesh, state)
         state_shardings = jax.tree_util.tree_map(lambda x: x.sharding, self.state)
         self.train_step = make_train_step(
             cfg, state_sharding=state_shardings,
