@@ -84,10 +84,17 @@ class SwinMlp(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from rgbx_semantic_segmentation_tpu.ops.sharding import constrain
+
+        # fc1/fc2 follow the same TP naming contract as the MiT Mix-FFN
+        # (parallel/mesh._tp_spec): hidden split on 'model' under a dp x tp
+        # mesh; the pins are no-ops on other meshes.
         x = L.dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = constrain(x, "data", None, "model")
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.drop, deterministic=not train)(x)
         x = L.dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        x = constrain(x, "data")
         return nn.Dropout(self.drop, deterministic=not train)(x)
 
 
