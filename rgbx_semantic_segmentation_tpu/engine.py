@@ -70,8 +70,12 @@ class Engine:
             from rgbx_semantic_segmentation_tpu.utils.fs import parse_devices
             all_devices = jax.devices()
             devices = [all_devices[i] for i in parse_devices(dev_spec)]
-        self.mesh = mesh_lib.make_mesh_for_batch(cfg.train.batch_size,
-                                                 devices=devices)
+        mesh_spec = (getattr(args, "mesh", "") if args else "") or "dp"
+        try:
+            self.mesh = mesh_lib.make_mesh_from_spec(
+                mesh_spec, cfg.train.batch_size, devices=devices)
+        except ValueError as e:
+            raise SystemExit(f"error: {e}")
         ckpt_dir = os.path.join(cfg.log_dir, cfg.tag(), "checkpoint")
         self.checkpoints = CheckpointManager(ckpt_dir)
         self._profile_dir = getattr(args, "profile_dir", None) if args else None

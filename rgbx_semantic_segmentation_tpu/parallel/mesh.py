@@ -105,6 +105,28 @@ def _tp_spec(path: str, leaf, model: int) -> P:
     return P()
 
 
+def make_mesh_from_spec(spec: str, batch_size: int,
+                        devices: Optional[Sequence] = None) -> Mesh:
+    """Mesh from a CLI spec: 'dp' (default: largest batch-dividing data mesh),
+    'dp:N', '2d:D,S' (data x spatial), 'tp:D,M' (data x model). The reference
+    has no equivalent — its DDP world size is implicit in the launcher."""
+    if not spec or spec == "dp":
+        return make_mesh_for_batch(batch_size, devices)
+    kind, _, dims = spec.partition(":")
+    try:
+        if kind == "dp":
+            return make_mesh(devices, n_devices=int(dims))
+        d, m = (int(x) for x in dims.split(","))
+        if kind == "2d":
+            return make_mesh_2d(d, m, devices)
+        if kind == "tp":
+            return make_mesh_dp_tp(d, m, devices)
+    except (ValueError, AssertionError) as e:
+        raise ValueError(f"bad mesh spec {spec!r}: {e}") from e
+    raise ValueError(
+        f"unknown mesh spec {spec!r} (dp | dp:N | 2d:D,S | tp:D,M)")
+
+
 def shard_state_tp(mesh: Mesh, tree):
     """Place a train state on a (data x model) mesh per `_tp_spec`."""
     m = mesh.shape[MODEL_AXIS]
@@ -129,7 +151,11 @@ def make_mesh_for_batch(global_batch: int,
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading (batch) dim sharded across the data axis."""
+    """Batch arrays' layout for this mesh: batch dim on 'data', and — when the
+    mesh has a 'spatial' axis — the image height (dim 1 of rgb/modal/label
+    alike) on 'spatial'."""
+    if SPATIAL_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
     return NamedSharding(mesh, P(DATA_AXIS))
 
 

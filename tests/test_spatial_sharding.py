@@ -85,3 +85,38 @@ def test_2d_sharded_step_with_pallas_interpret_matches(monkeypatch):
     pb = jax.tree_util.tree_leaves(s2.params)
     for a, b in zip(pa, pb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+def test_trainer_on_2d_mesh_matches_unsharded():
+    """The 2-D layout through the Trainer itself (train_cli --mesh 2d:D,S):
+    batch_sharding() routes (B, H, ...) arrays to P('data', 'spatial')."""
+    cfg = _cfg()
+    rng = np.random.RandomState(1)
+    batch = {"rgb": rng.randn(4, 64, 64, 3).astype(np.float32),
+             "modal_x": rng.randn(4, 64, 64, 3).astype(np.float32),
+             "label": rng.randint(0, 5, (4, 64, 64)).astype(np.int32)}
+    step = train_lib.make_train_step(cfg)
+    s_ref, m_ref = step(train_lib.create_train_state(
+        cfg, jax.random.PRNGKey(cfg.train.seed)), batch)
+
+    trainer = train_lib.Trainer(cfg, mesh=mesh_lib.make_mesh_2d(2, 4))
+    m2 = trainer.step(batch)
+    assert float(m_ref["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
+                    jax.tree_util.tree_leaves(trainer.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+def test_make_mesh_from_spec():
+    m = mesh_lib.make_mesh_from_spec("dp", 8)
+    assert m.axis_names == ("data",)
+    m = mesh_lib.make_mesh_from_spec("dp:4", 8)
+    assert m.shape["data"] == 4
+    m = mesh_lib.make_mesh_from_spec("2d:2,4", 8)
+    assert dict(m.shape) == {"data": 2, "spatial": 4}
+    m = mesh_lib.make_mesh_from_spec("tp:2,4", 8)
+    assert dict(m.shape) == {"data": 2, "model": 4}
+    with pytest.raises(ValueError):
+        mesh_lib.make_mesh_from_spec("ring:3", 8)
+    with pytest.raises(ValueError):
+        mesh_lib.make_mesh_from_spec("2d:banana", 8)

@@ -32,6 +32,11 @@ def main():
                         help=".pth single-tower backbone checkpoint to convert")
     parser.add_argument("-d", "--devices", default="",
                         help="device selection, e.g. '0,2-5' or '*'")
+    parser.add_argument("--mesh", default="dp",
+                        help="device-mesh layout: dp (data parallel over all "
+                             "devices, default) | dp:N | 2d:D,S (data x "
+                             "spatial image-height sharding) | tp:D,M (data "
+                             "x model tensor parallelism)")
     parser.add_argument("-c", "--continue", dest="resume", action="store_true")
     parser.add_argument("-p", "--profile_dir", default=None)
     args = parser.parse_args()
