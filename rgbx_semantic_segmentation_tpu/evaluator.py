@@ -98,9 +98,12 @@ class SegEvaluator:
             if self._mesh is None:
                 return rgb, modal_x
             from rgbx_semantic_segmentation_tpu.parallel.mesh import (
-                batch_sharding)
-            n = self._mesh.devices.size
-            if rgb.shape[0] % n != 0:
+                DATA_AXIS, SPATIAL_AXIS, batch_sharding)
+            # batch_sharding is mesh-aware: P('data') on 1-D meshes,
+            # P('data', 'spatial') on 2-D — gate on the dims it actually splits.
+            nd = dict(self._mesh.shape).get(DATA_AXIS, 1)
+            sp = dict(self._mesh.shape).get(SPATIAL_AXIS, 1)
+            if rgb.shape[0] % nd != 0 or rgb.shape[1] % sp != 0:
                 return rgb, modal_x
             sh = batch_sharding(self._mesh)
             return jax.device_put(rgb, sh), jax.device_put(modal_x, sh)

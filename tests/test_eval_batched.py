@@ -89,3 +89,17 @@ def test_verbose_logs_running_metric(setup):
     assert s_quiet.mean_iou == pytest.approx(s_verb.mean_iou, abs=1e-6)
     running = [m for m in records if "running mIoU" in m]
     assert len(running) == len(val.dataset)
+
+
+def test_eval_on_2d_mesh_matches(setup):
+    """Batched eval sharded over a 2-D (data x spatial) mesh == unsharded
+    (the 32-row images divide the 4-way spatial axis)."""
+    from rgbx_semantic_segmentation_tpu.parallel.mesh import make_mesh_2d
+
+    cfg, state, variables = setup
+    val = ValLoader(cfg)
+    ev1 = SegEvaluator(cfg, state.apply_fn)
+    s1, _ = ev1.evaluate(variables, val.dataset, eval_batch=4)
+    ev2 = SegEvaluator(cfg, state.apply_fn, mesh=make_mesh_2d(2, 4))
+    s2, _ = ev2.evaluate(variables, val.dataset, eval_batch=4)
+    assert s1.mean_iou == pytest.approx(s2.mean_iou, abs=1e-6)
