@@ -73,3 +73,35 @@ def test_tp_train_matches_single_device():
     pb = jax.tree_util.tree_leaves(trainer.state.params)
     for a, b in zip(pa, pb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_tp_checkpoint_roundtrip(tmp_path):
+    """Orbax save from a TP-sharded state and restore into a fresh TP trainer
+    (and into an unsharded state): values survive the resharding."""
+    from rgbx_semantic_segmentation_tpu.checkpoint import CheckpointManager
+
+    cfg = tiny_cfg()
+    batch = synthetic_batch(cfg, seed=7)
+    mesh = mesh_lib.make_mesh_dp_tp(2, 4)
+    trainer = train_lib.Trainer(cfg, mesh=mesh)
+    trainer.step(batch)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, trainer.state)
+    mgr.close()
+
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"))
+    fresh = train_lib.Trainer(cfg, mesh=mesh_lib.make_mesh_dp_tp(2, 4))
+    restored, next_epoch = mgr2.restore(fresh.state)
+    assert next_epoch == 2
+    for a, b in zip(jax.tree_util.tree_leaves(trainer.state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+    # Restore into an unsharded single-device state too (tp -> dp portability).
+    plain = train_lib.create_train_state(cfg, jax.random.PRNGKey(9))
+    restored2, _ = mgr2.restore(plain)
+    for a, b in zip(jax.tree_util.tree_leaves(trainer.state.params),
+                    jax.tree_util.tree_leaves(restored2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+    mgr2.close()
