@@ -65,18 +65,8 @@ class ResNetTower(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        import os
-        # Same stem s2d experiment as the MiT patch embeds (ops/layers.
-        # SpaceToDepthConv): the 7x7 s2 C_in=3 stem under-fills the 128-lane
-        # tile; s2d packs 2*2*3=12 channels. Param tree identical either way.
-        if (os.environ.get("RGBX_S2D_STEM", "0") == "1"
-                and x.shape[-1] * 4 <= 128
-                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
-            x = L.SpaceToDepthConv(64, 7, 2, use_bias=False, dtype=self.dtype,
-                                   name="conv1")(x)
-        else:
-            x = L.conv(64, 7, stride=2, padding=((3, 3), (3, 3)),
-                       use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = L.conv(64, 7, stride=2, padding=((3, 3), (3, 3)),
+                   use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = L.batch_norm(self.bn_momentum, dtype=self.dtype, name="bn1")(
             x, use_running_average=not train)
         x = nn.relu(x)

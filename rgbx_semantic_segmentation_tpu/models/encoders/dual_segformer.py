@@ -224,23 +224,10 @@ class OverlapPatchEmbed(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        import os
         p = self.patch_size // 2
-        # Stem s2d experiment (RGBX_S2D_STEM=1): compute the C_in=3 stage-1
-        # embed as space-to-depth + dense conv — same params, same math, no
-        # lane-starved C=3 input layout. Only where the packed channel count
-        # still fits one 128-lane tile and the map divides by the stride.
-        if (os.environ.get("RGBX_S2D_STEM", "0") == "1"
-                and x.shape[-1] * self.stride ** 2 <= 128
-                and x.shape[1] % self.stride == 0
-                and x.shape[2] % self.stride == 0):
-            x = L.SpaceToDepthConv(self.embed_dim, self.patch_size,
-                                   self.stride, dtype=self.dtype,
-                                   name="proj")(x)
-        else:
-            x = L.conv(self.embed_dim, self.patch_size, stride=self.stride,
-                       padding=((p, p), (p, p)), dtype=self.dtype,
-                       name="proj")(x)
+        x = L.conv(self.embed_dim, self.patch_size, stride=self.stride,
+                   padding=((p, p), (p, p)), dtype=self.dtype,
+                   name="proj")(x)
         B, H, W, C = x.shape
         x = x.reshape(B, H * W, C)
         x = L.layer_norm(LN_EPS, dtype=self.dtype, name="norm")(x)

@@ -147,75 +147,6 @@ def conv(features: int, kernel_size, stride=1, padding="SAME", groups: int = 1,
                    bias_init=nn.initializers.zeros, name=name)
 
 
-class SpaceToDepthConv(nn.Module):
-    """Strided conv computed as space-to-depth + a dense-channel VALID conv.
-
-    Math-identical (same sums, reassociated) to
-    ``nn.Conv(features, (k, k), strides=(s, s), padding=((k//2, k//2),) * 2)``
-    for NHWC inputs whose H and W are multiples of ``s``. Parameters are stored
-    in nn.Conv's exact layout (``kernel`` (k, k, Cin, F), ``bias`` (F,)) with
-    the same initializer, so the param tree, converted torch checkpoints
-    (convert.py), and goldens are all unchanged; only the schedule differs.
-
-    Why: the stem patch embeds read C_in=3 activations (reference
-    dual_segformer.py:183-225 stage-1 7x7 s4 conv; dual_resnet.py 7x7 s2 stem).
-    3 input channels under-fill the TPU's 128-lane tile — XLA moves the input
-    through (4, 128)-padded layout copies and the im2col K dim is mostly
-    padding. Packing s*s*C_in channels per spatial position (space-to-depth by
-    the stride) trades those copies for one reshape/transpose and a denser
-    matmul: the kernel is zero-padded from (k, k) to (nb*s, nb*s) taps
-    (nb = ceil(k/s) blocks) and regrouped to (nb, nb, s*s*Cin, F).
-    """
-
-    features: int
-    kernel_size: int
-    stride: int
-    use_bias: bool = True
-    dtype: Optional[Dtype] = None
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        k, s = self.kernel_size, self.stride
-        B, H, W, C = x.shape
-        if H % s or W % s:
-            raise ValueError(f"SpaceToDepthConv needs H, W % stride == 0, "
-                             f"got {(H, W)} % {s}")
-        kernel = self.param("kernel", conv_kaiming_init(),
-                            (k, k, C, self.features))
-        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
-                if self.use_bias else None)
-        p = k // 2
-        nb = (k - 1) // s + 1          # stride-blocks covered by one window
-        h_out = (H + 2 * p - k) // s + 1
-        w_out = (W + 2 * p - k) // s + 1
-        # Padded extent so every output window lies inside whole s-blocks.
-        pr_h = s * (h_out - 1 + nb) - p - H
-        pr_w = s * (w_out - 1 + nb) - p - W
-
-        dtype = self.dtype or x.dtype
-        x = x.astype(dtype)
-        kernel = kernel.astype(dtype)
-
-        xp = jnp.pad(x, ((0, 0), (p, pr_h), (p, pr_w), (0, 0)))
-        hb, wb = xp.shape[1] // s, xp.shape[2] // s
-        xp = xp.reshape(B, hb, s, wb, s, C).transpose(0, 1, 3, 2, 4, 5)
-        xp = xp.reshape(B, hb, wb, s * s * C)   # channel = (sy*s + sx)*C + c
-
-        # Regroup the (k, k, C, F) kernel to (nb, nb, s*s*C, F) matching the
-        # s2d channel order; taps k..nb*s-1 are zero.
-        kp = jnp.pad(kernel, ((0, nb * s - k), (0, nb * s - k), (0, 0), (0, 0)))
-        kp = kp.reshape(nb, s, nb, s, C, self.features)
-        kp = kp.transpose(0, 2, 1, 3, 4, 5).reshape(nb, nb, s * s * C,
-                                                    self.features)
-
-        out = jax.lax.conv_general_dilated(
-            xp, kp, window_strides=(1, 1), padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        if bias is not None:
-            out = out + bias.astype(dtype)
-        return out
-
-
 def torch_conv_padding(kernel_size: int, stride: int = 1) -> Sequence:
     """Explicit padding equal to torch's padding=k//2 convention."""
     p = kernel_size // 2

@@ -308,20 +308,6 @@ def section_micro():
     bench_grad("MLPDecoder fwd+bwd", dec, (feats,))
 
 
-def section_s2d():
-    """Stem space-to-depth experiment (ops/layers.SpaceToDepthConv): the C=3
-    stage-1 patch embeds recomputed as s2d + dense conv. Same params/math;
-    measures whether dodging the lane-starved C=3 conv input layout pays."""
-    from rgbx_semantic_segmentation_tpu.config import mfnet_config
-
-    rng = np.random.RandomState(0)
-    cfg = mfnet_config()
-    for flag in ("0", "1"):
-        os.environ["RGBX_S2D_STEM"] = flag
-        ms = train_step_ms(cfg, B, rng)
-        report(f"train_step b{B} s2d_stem={flag}", ms, f"{B / ms * 1e3:.1f} img/s")
-
-
 def main():
     section = sys.argv[1] if len(sys.argv) > 1 else "head"
     _setup_cache()
@@ -335,8 +321,6 @@ def main():
         section_backbones()
     elif section == "evalbatch":
         section_evalbatch()
-    elif section == "s2d":
-        section_s2d()
     else:
         raise SystemExit(f"unknown section {section}")
     print("JSON " + json.dumps(RESULTS), flush=True)
