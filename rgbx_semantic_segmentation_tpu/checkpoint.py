@@ -30,9 +30,18 @@ class CheckpointManager:
             max_to_keep=max_to_keep, create=True)
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
-    def save(self, epoch: int, state, extra: Optional[dict] = None) -> None:
+    def save(self, epoch: int, state, extra: Optional[dict] = None,
+             block: bool = False) -> None:
         """Persist model/optimizer state at an epoch boundary (reference
-        engine.py:84-126 save_checkpoint)."""
+        engine.py:84-126 save_checkpoint).
+
+        Async by default: Orbax copies the arrays to host synchronously (so
+        later in-place/donated updates of the device state cannot corrupt the
+        snapshot) and commits the write in a background thread — the next
+        train steps overlap the disk IO instead of stalling on it (the
+        reference's torch.save blocks the loop). `block=True` waits for the
+        commit — required before process exit (preemption drains) and used by
+        restore/close/listing internally."""
         payload = {
             "params": state.params,
             "batch_stats": state.batch_stats if state.batch_stats else {},
@@ -43,18 +52,26 @@ class CheckpointManager:
         if extra:
             payload["extra"] = extra
         self._mgr.save(epoch, args=ocp.args.StandardSave(payload))
+        if block:
+            self._mgr.wait_until_finished()
+
+    def wait_until_finished(self) -> None:
+        """Block until any in-flight async save has committed."""
         self._mgr.wait_until_finished()
 
     def latest_epoch(self) -> Optional[int]:
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def all_epochs(self):
+        self._mgr.wait_until_finished()
         return sorted(self._mgr.all_steps())
 
     def restore(self, state, epoch: Optional[int] = None):
         """Restore into an existing TrainState template; returns
         (state, next_epoch) — resuming at saved epoch + 1 like reference
         engine.py:143."""
+        self._mgr.wait_until_finished()  # an in-flight async save may be it
         if epoch is None:
             epoch = self.latest_epoch()
         if epoch is None:
@@ -77,4 +94,5 @@ class CheckpointManager:
         return new_state, int(restored["epoch"]) + 1
 
     def close(self):
+        self._mgr.wait_until_finished()
         self._mgr.close()

@@ -96,9 +96,11 @@ class Engine:
     def save_checkpoint_if_due(self, epoch: int, state) -> bool:
         if should_checkpoint(self.cfg, epoch):
             t0 = time.time()
+            # Async: blocks only for the device->host snapshot copy; the disk
+            # commit overlaps the next epoch (drained at close/restore/drain).
             self.checkpoints.save(epoch, state)
-            self.logger.info("checkpoint epoch %d saved in %.1fs", epoch,
-                             time.time() - t0)
+            self.logger.info("checkpoint epoch %d dispatched in %.1fs (async "
+                             "commit)", epoch, time.time() - t0)
             return True
         return False
 
@@ -146,7 +148,8 @@ class Engine:
             return False
         self.logger.warning(
             "signal %d: writing preemption checkpoint (epoch %d)", signum, epoch)
-        self.checkpoints.save(max(epoch, 0), state)
+        # block=True: the process exits right after — the write must be durable.
+        self.checkpoints.save(max(epoch, 0), state, block=True)
         self._preempt_signum = None
         if reraise:
             signal.signal(signum, signal.SIG_DFL)

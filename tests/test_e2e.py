@@ -84,6 +84,25 @@ def test_train_eval_checkpoint_resume(e2e_cfg, tmp_path):
     mgr.close()
 
 
+def test_async_checkpoint_overlapping_saves(e2e_cfg, tmp_path):
+    """Saves are async (dispatch returns before the disk commit); listing and
+    restore drain the in-flight write, and back-to-back dispatches serialize
+    correctly — epoch 2's state restores even when dispatched while epoch 1's
+    commit may still be in flight."""
+    cfg = e2e_cfg
+    state = train_lib.create_train_state(cfg, jax.random.PRNGKey(1))
+    mgr = CheckpointManager(str(tmp_path / "ckpt_async"))
+    mgr.save(1, state)
+    state2 = state.replace(step=state.step + 5)
+    mgr.save(2, state2)
+    assert mgr.all_epochs() == [1, 2]
+    fresh = train_lib.create_train_state(cfg, jax.random.PRNGKey(2))
+    restored, next_epoch = mgr.restore(fresh, epoch=2)
+    assert next_epoch == 3
+    assert int(restored.step) == int(state.step) + 5
+    mgr.close()
+
+
 def test_sliding_window_covers_larger_image(e2e_cfg):
     """Image larger than the crop triggers the sliding grid path."""
     cfg = e2e_cfg
