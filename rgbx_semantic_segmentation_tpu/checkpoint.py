@@ -96,3 +96,35 @@ class CheckpointManager:
     def close(self):
         self._mgr.wait_until_finished()
         self._mgr.close()
+
+
+def resolve_checkpoint_spec(spec: str, default_dir: str):
+    """Map an `-e` checkpoint spec to (manager, epochs) — the reference's
+    flexible `-e` forms (evaluator.py:42-81) minus torch `.pth` paths, which
+    callers handle first (they need a config flip for erf GELU parity):
+
+    - an existing epoch-numbered Orbax step dir → that epoch in its parent
+    - an existing checkpoint dir → its latest epoch
+    - otherwise a spec ('last' | '300' | '250-400' | '250-') parsed against
+      `default_dir`'s available epochs.
+
+    Raises SystemExit when nothing matches (CLI context)."""
+    from rgbx_semantic_segmentation_tpu.evaluator import parse_epoch_spec
+
+    if os.path.exists(spec):
+        path = _abs(spec.rstrip("/"))
+        base = os.path.basename(path)
+        if base.isdigit():
+            mgr = CheckpointManager(os.path.dirname(path))
+            epochs = [int(base)]
+        else:
+            mgr = CheckpointManager(path)
+            epochs = [mgr.latest_epoch()]
+        if epochs[0] is None:
+            raise SystemExit(f"no checkpoints under {path}")
+        return mgr, epochs
+    mgr = CheckpointManager(default_dir)
+    epochs = parse_epoch_spec(spec, mgr.all_epochs())
+    if not epochs:
+        raise SystemExit(f"no checkpoints matching {spec!r} in {default_dir}")
+    return mgr, epochs

@@ -34,6 +34,21 @@ def _imread(path: str, grayscale: bool = False) -> np.ndarray:
         return arr[:, :, ::-1]  # RGB -> BGR (cv2.imread convention)
 
 
+def load_rgbx_pair(ds_cfg: DatasetConfig, root: str, name: str):
+    """Load one (rgb, modal_x) image pair without a label — the
+    prediction-time subset of __getitem__ (reference RGBXDataset.py:41-59
+    minus gt; the reference has no label-free path at all). BGR quirk and
+    1ch→3ch modal replication match training."""
+    rgb = _imread(os.path.join(root, ds_cfg.rgb_folder, name + ds_cfg.rgb_format))
+    if ds_cfg.x_is_single_channel:
+        x = _imread(os.path.join(root, ds_cfg.x_folder, name + ds_cfg.x_format),
+                    grayscale=True)
+        x = np.stack([x, x, x], axis=-1)
+    else:
+        x = _imread(os.path.join(root, ds_cfg.x_folder, name + ds_cfg.x_format))
+    return rgb, x
+
+
 class RGBXDataset:
     """Map-style dataset over (rgb, modal_x, gt) file triples."""
 
@@ -45,6 +60,7 @@ class RGBXDataset:
         self.split = split
         self.preprocess = preprocess
         root = root if root is not None else ds_cfg.dataset_path
+        self._root = root
         self._rgb_path = os.path.join(root, ds_cfg.rgb_folder)
         self._x_path = os.path.join(root, ds_cfg.x_folder)
         self._gt_path = os.path.join(root, ds_cfg.gt_folder)
@@ -89,17 +105,11 @@ class RGBXDataset:
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         name = self._names()[index]
         c = self.cfg
-        rgb = _imread(os.path.join(self._rgb_path, name + c.rgb_format))
+        rgb, x = load_rgbx_pair(c, self._root, name)
         gt = _imread(os.path.join(self._gt_path, name + c.gt_format),
                      grayscale=True).astype(np.uint8)
         if c.gt_transform:
             gt = (gt.astype(np.int32) - 1).astype(np.uint8)  # RGBXDataset.py:113
-        if c.x_is_single_channel:
-            x = _imread(os.path.join(self._x_path, name + c.x_format),
-                        grayscale=True)
-            x = np.stack([x, x, x], axis=-1)
-        else:
-            x = _imread(os.path.join(self._x_path, name + c.x_format))
         if self.preprocess is not None:
             if getattr(self.preprocess, "accepts_rng", False):
                 # Deterministic, thread-safe per-sample augmentation rng keyed

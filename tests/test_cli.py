@@ -110,3 +110,62 @@ def test_train_then_eval_cli(tiny_setup, monkeypatch, capsys):
     assert os.path.exists(val_log)
     content = open(val_log).read()
     assert "mean_IoU" in content
+
+
+def test_predict_cli_label_free(tiny_setup, monkeypatch, tmp_path):
+    """predict_cli: label-free inference (BEYOND reference — its eval path
+    cannot run without ground truth). Dataset-list mode and single-pair mode
+    both produce raw + palettised PNGs (+ composites with -s)."""
+    import numpy as np
+    from PIL import Image
+
+    import jax
+    import predict_cli
+    from rgbx_semantic_segmentation_tpu import train as train_lib
+    from rgbx_semantic_segmentation_tpu.checkpoint import CheckpointManager
+
+    cfg, log_dir = tiny_setup
+    # A checkpoint independent of test order: save an untrained state.
+    ckpt_dir = os.path.join(log_dir, cfg.tag(), "checkpoint")
+    mgr = CheckpointManager(ckpt_dir)
+    if mgr.latest_epoch() is None:
+        state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+        mgr.save(1, state, block=True)
+    mgr.close()
+
+    def fake_get_config(name, **kw):
+        return cfg
+
+    import rgbx_semantic_segmentation_tpu.config as cfg_mod
+    monkeypatch.setattr(cfg_mod, "get_config", fake_get_config)
+
+    out = str(tmp_path / "preds")
+    monkeypatch.setattr(sys, "argv", ["predict_cli.py", "--config", "tiny",
+                                      "-e", "last", "-p", out, "-s"])
+    predict_cli.main()
+
+    root = cfg.dataset.dataset_path
+    names = [l.strip() for l in
+             open(os.path.join(root, cfg.dataset.eval_source)) if l.strip()]
+    assert names
+    for n in names:
+        raw = np.asarray(Image.open(os.path.join(out, n + ".png")))
+        assert raw.shape == (32, 32)
+        assert raw.max() < cfg.dataset.num_classes
+        assert os.path.exists(os.path.join(out + "_color", n + ".png"))
+        comp = np.asarray(Image.open(os.path.join(out + "_compare", n + ".png")))
+        assert comp.shape == (32, 64, 3)  # [image | prediction]
+
+    # single-pair mode
+    out2 = str(tmp_path / "single")
+    rgb_path = os.path.join(root, cfg.dataset.rgb_folder,
+                            names[0] + cfg.dataset.rgb_format)
+    x_path = os.path.join(root, cfg.dataset.x_folder,
+                          names[0] + cfg.dataset.x_format)
+    monkeypatch.setattr(sys, "argv", ["predict_cli.py", "--config", "tiny",
+                                      "-e", "last", "-p", out2,
+                                      "--rgb", rgb_path, "--x", x_path])
+    predict_cli.main()
+    pred1 = np.asarray(Image.open(os.path.join(out2, names[0] + ".png")))
+    pred0 = np.asarray(Image.open(os.path.join(out, names[0] + ".png")))
+    np.testing.assert_array_equal(pred1, pred0)
