@@ -50,11 +50,9 @@ def main():
     import jax
 
     from rgbx_semantic_segmentation_tpu import train as train_lib
-    from rgbx_semantic_segmentation_tpu.checkpoint import CheckpointManager
     from rgbx_semantic_segmentation_tpu.config import get_config
     from rgbx_semantic_segmentation_tpu.data.loader import ValLoader
-    from rgbx_semantic_segmentation_tpu.evaluator import (
-        SegEvaluator, parse_epoch_spec)
+    from rgbx_semantic_segmentation_tpu.evaluator import SegEvaluator
     from rgbx_semantic_segmentation_tpu.logger import get_logger
 
     try:
@@ -101,26 +99,12 @@ def main():
     if pth_path is not None:
         mgr = None
         epochs = [pth_path]
-    elif os.path.exists(args.epochs):
-        path = os.path.abspath(args.epochs.rstrip("/"))
-        base = os.path.basename(path)
-        if base.isdigit():
-            ckpt_dir = os.path.dirname(path)
-            mgr = CheckpointManager(ckpt_dir)
-            epochs = [int(base)]
-        else:
-            ckpt_dir = path
-            mgr = CheckpointManager(ckpt_dir)
-            epochs = [mgr.latest_epoch()]
-        if epochs[0] is None:
-            raise SystemExit(f"no checkpoints under {path}")
     else:
-        ckpt_dir = args.checkpoint_dir or os.path.join(
+        from rgbx_semantic_segmentation_tpu.checkpoint import (
+            resolve_checkpoint_spec)
+        default_dir = args.checkpoint_dir or os.path.join(
             cfg.log_dir, cfg.tag(), "checkpoint")
-        mgr = CheckpointManager(ckpt_dir)
-        epochs = parse_epoch_spec(args.epochs, mgr.all_epochs())
-    if not epochs:
-        raise SystemExit(f"no checkpoints matching {args.epochs!r} in {ckpt_dir}")
+        mgr, epochs = resolve_checkpoint_spec(args.epochs, default_dir)
 
     val = ValLoader(cfg, root=args.dataset_root)
     # Batched eval shards stacked images across the mesh's data axis — the

@@ -138,3 +138,34 @@ def test_parse_epoch_spec():
     assert parse_epoch_spec("150-250", avail) == [150, 200, 250]
     assert parse_epoch_spec("200-", avail) == [200, 250, 300]
     assert parse_epoch_spec("999", avail) == []
+
+
+def test_resolve_checkpoint_spec_forms(e2e_cfg, tmp_path):
+    """resolve_checkpoint_spec handles every `-e` form the CLIs accept
+    (reference evaluator.py:42-81): checkpoint dir, epoch-numbered step dir,
+    spec-vs-default-dir, and loud failure on no match."""
+    from rgbx_semantic_segmentation_tpu.checkpoint import resolve_checkpoint_spec
+
+    cfg = e2e_cfg
+    state = train_lib.create_train_state(cfg, jax.random.PRNGKey(3))
+    ckpt_dir = str(tmp_path / "ckpt_spec")
+    mgr = CheckpointManager(ckpt_dir)
+    mgr.save(1, state)
+    mgr.save(3, state, block=True)
+    mgr.close()
+
+    m, epochs = resolve_checkpoint_spec(ckpt_dir, "/nonexistent")
+    assert epochs == [3]  # a checkpoint dir -> its latest epoch
+    m.close()
+    m, epochs = resolve_checkpoint_spec(os.path.join(ckpt_dir, "1"),
+                                        "/nonexistent")
+    assert epochs == [1]  # an epoch-numbered Orbax step dir
+    m.close()
+    m, epochs = resolve_checkpoint_spec("last", ckpt_dir)
+    assert epochs == [3]
+    m.close()
+    m, epochs = resolve_checkpoint_spec("1-3", ckpt_dir)
+    assert epochs == [1, 3]
+    m.close()
+    with pytest.raises(SystemExit):
+        resolve_checkpoint_spec("7", ckpt_dir)
