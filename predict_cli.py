@@ -58,11 +58,10 @@ def main():
     import numpy as np
 
     from rgbx_semantic_segmentation_tpu import train as train_lib
-    from rgbx_semantic_segmentation_tpu.checkpoint import (
-        CheckpointManager, resolve_checkpoint_spec)
+    from rgbx_semantic_segmentation_tpu.checkpoint import resolve_checkpoint_spec
     from rgbx_semantic_segmentation_tpu.config import get_config
     from rgbx_semantic_segmentation_tpu.data.dataset import (
-        RGBXDataset, load_rgbx_pair, _imread)
+        RGBXDataset, load_modal_image, load_rgbx_pair, _imread)
     from rgbx_semantic_segmentation_tpu.evaluator import SegEvaluator
     from rgbx_semantic_segmentation_tpu.logger import get_logger
 
@@ -103,6 +102,10 @@ def main():
         default_dir = args.checkpoint_dir or os.path.join(
             cfg.log_dir, cfg.tag(), "checkpoint")
         mgr, epochs = resolve_checkpoint_spec(args.epochs, default_dir)
+        if len(epochs) > 1:
+            raise SystemExit(
+                f"predict_cli takes ONE checkpoint; -e {args.epochs!r} matches "
+                f"epochs {epochs} — use eval_cli for epoch sweeps")
         st, _ = mgr.restore(state, epochs[-1])
         variables = {"params": st.params}
         if st.batch_stats:
@@ -110,33 +113,33 @@ def main():
         ckpt_label = f"epoch {epochs[-1]}"
 
     # Work list: (name, rgb, modal_x) — raw BGR uint8 pairs, exactly what the
-    # eval protocol's sliding_eval_rgbx expects.
+    # eval protocol's sliding_eval_rgbx expects. Pairs are decoded lazily, one
+    # per iteration — thousands of images must not be resident at once.
     if args.rgb is not None:
-        name = os.path.splitext(os.path.basename(args.rgb))[0]
-        rgb = _imread(args.rgb)
-        if cfg.dataset.x_is_single_channel:
-            x = _imread(args.x, grayscale=True)
-            x = np.stack([x, x, x], axis=-1)
-        else:
-            x = _imread(args.x)
-        items = [(name, rgb, x)]
+        names = [os.path.splitext(os.path.basename(args.rgb))[0]]
+
+        def iter_items():
+            yield (names[0], _imread(args.rgb),
+                   load_modal_image(cfg.dataset, args.x))
     else:
         root = args.dataset_root or cfg.dataset.dataset_path
         source = args.source or cfg.dataset.eval_source
         source = source if os.path.isabs(source) else os.path.join(root, source)
         with open(source) as f:
             names = [line.strip() for line in f if line.strip()]
-        items = ((n,) + load_rgbx_pair(cfg.dataset, root, n) for n in names)
-        items = list(items)
+
+        def iter_items():
+            for n in names:
+                yield (n,) + load_rgbx_pair(cfg.dataset, root, n)
 
     save_path = args.save_path or os.path.join(cfg.log_dir, cfg.tag(),
                                                "predict")
     evaluator = SegEvaluator(cfg, state.apply_fn)
     colors = RGBXDataset.get_class_colors(cfg.dataset.dataset_name)
-    logger.info("predicting %d image(s) with %s -> %s", len(items),
+    logger.info("predicting %d image(s) with %s -> %s", len(names),
                 ckpt_label, save_path)
     t0 = time.time()
-    for i, (name, rgb, x) in enumerate(items):
+    for i, (name, rgb, x) in enumerate(iter_items()):
         pred = evaluator.sliding_eval_rgbx(variables, rgb, x)
         evaluator._save_prediction(pred, name, save_path)
         if args.composite:
@@ -144,14 +147,19 @@ def main():
 
             from rgbx_semantic_segmentation_tpu import visualize
 
+            # Paint class colors into the RGB-order photo: get_class_colors
+            # triples are RGB (the palettised PNGs treat them as such), while
+            # the pipeline's images are BGR — convert first so composite and
+            # palette colors agree.
+            rgb_view = rgb[:, :, ::-1]
             painted = visualize.show_prediction(colors, cfg.dataset.background,
-                                                rgb, pred, pred)
-            comp = np.concatenate([rgb, painted], axis=1)[:, :, ::-1]  # ->RGB
+                                                rgb_view, pred, pred)
+            comp = np.concatenate([rgb_view, painted], axis=1)
             out_dir = save_path + "_compare"
             os.makedirs(out_dir, exist_ok=True)
             Image.fromarray(comp.astype(np.uint8)).save(
                 os.path.join(out_dir, name + ".png"))
-        logger.info("predict %d/%d %s (%.2f img/s)", i + 1, len(items), name,
+        logger.info("predict %d/%d %s (%.2f img/s)", i + 1, len(names), name,
                     (i + 1) / (time.time() - t0))
     if mgr is not None:
         mgr.close()

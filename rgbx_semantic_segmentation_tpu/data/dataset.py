@@ -34,18 +34,24 @@ def _imread(path: str, grayscale: bool = False) -> np.ndarray:
         return arr[:, :, ::-1]  # RGB -> BGR (cv2.imread convention)
 
 
+def load_modal_image(ds_cfg: DatasetConfig, path: str) -> np.ndarray:
+    """Read a modal (thermal/HHA/...) image with the training conventions:
+    grayscale read + 1ch→3ch replication when the config says single-channel
+    (reference RGBXDataset.py:57-59), BGR otherwise."""
+    if ds_cfg.x_is_single_channel:
+        x = _imread(path, grayscale=True)
+        return np.stack([x, x, x], axis=-1)
+    return _imread(path)
+
+
 def load_rgbx_pair(ds_cfg: DatasetConfig, root: str, name: str):
     """Load one (rgb, modal_x) image pair without a label — the
     prediction-time subset of __getitem__ (reference RGBXDataset.py:41-59
     minus gt; the reference has no label-free path at all). BGR quirk and
     1ch→3ch modal replication match training."""
     rgb = _imread(os.path.join(root, ds_cfg.rgb_folder, name + ds_cfg.rgb_format))
-    if ds_cfg.x_is_single_channel:
-        x = _imread(os.path.join(root, ds_cfg.x_folder, name + ds_cfg.x_format),
-                    grayscale=True)
-        x = np.stack([x, x, x], axis=-1)
-    else:
-        x = _imread(os.path.join(root, ds_cfg.x_folder, name + ds_cfg.x_format))
+    x = load_modal_image(ds_cfg, os.path.join(root, ds_cfg.x_folder,
+                                              name + ds_cfg.x_format))
     return rgb, x
 
 
@@ -61,8 +67,6 @@ class RGBXDataset:
         self.preprocess = preprocess
         root = root if root is not None else ds_cfg.dataset_path
         self._root = root
-        self._rgb_path = os.path.join(root, ds_cfg.rgb_folder)
-        self._x_path = os.path.join(root, ds_cfg.x_folder)
         self._gt_path = os.path.join(root, ds_cfg.gt_folder)
         source = ds_cfg.train_source if split == "train" else ds_cfg.eval_source
         source = source if os.path.isabs(source) else os.path.join(root, source)

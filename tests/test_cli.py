@@ -148,6 +148,8 @@ def test_predict_cli_label_free(tiny_setup, monkeypatch, tmp_path):
     names = [l.strip() for l in
              open(os.path.join(root, cfg.dataset.eval_source)) if l.strip()]
     assert names
+    from rgbx_semantic_segmentation_tpu.data.dataset import RGBXDataset
+    colors = RGBXDataset.get_class_colors(cfg.dataset.dataset_name)
     for n in names:
         raw = np.asarray(Image.open(os.path.join(out, n + ".png")))
         assert raw.shape == (32, 32)
@@ -155,6 +157,11 @@ def test_predict_cli_label_free(tiny_setup, monkeypatch, tmp_path):
         assert os.path.exists(os.path.join(out + "_color", n + ".png"))
         comp = np.asarray(Image.open(os.path.join(out + "_compare", n + ".png")))
         assert comp.shape == (32, 64, 3)  # [image | prediction]
+        # The painted half uses the SAME RGB color convention as the
+        # palettised PNG (regression: colors were channel-swapped).
+        painted = comp[:, 32:]
+        np.testing.assert_array_equal(
+            painted, np.asarray(colors, np.uint8)[raw])
 
     # single-pair mode
     out2 = str(tmp_path / "single")
@@ -169,3 +176,13 @@ def test_predict_cli_label_free(tiny_setup, monkeypatch, tmp_path):
     pred1 = np.asarray(Image.open(os.path.join(out2, names[0] + ".png")))
     pred0 = np.asarray(Image.open(os.path.join(out, names[0] + ".png")))
     np.testing.assert_array_equal(pred1, pred0)
+
+    # multi-epoch specs are an eval_cli concept; predict rejects them loudly
+    mgr = CheckpointManager(ckpt_dir)
+    state = train_lib.create_train_state(cfg, jax.random.PRNGKey(1))
+    mgr.save(99, state, block=True)
+    mgr.close()
+    monkeypatch.setattr(sys, "argv", ["predict_cli.py", "--config", "tiny",
+                                      "-e", "1-99", "-p", str(tmp_path / "x")])
+    with pytest.raises(SystemExit, match="ONE checkpoint"):
+        predict_cli.main()
