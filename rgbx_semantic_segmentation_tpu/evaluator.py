@@ -317,8 +317,12 @@ class SegEvaluator:
         from rgbx_semantic_segmentation_tpu.data.dataset import RGBXDataset
 
         colors = RGBXDataset.get_class_colors(self.cfg.dataset.dataset_name)
+        # Photo to RGB order for the PIL save: the pipeline's images are BGR
+        # (reference cv2 convention) while get_class_colors triples are RGB —
+        # painting into the BGR photo would render the photo channel-swapped.
+        rgb_view = np.asarray(item["rgb"])[:, :, ::-1]
         comp = visualize.show_img(colors, self.cfg.dataset.background,
-                                  item["rgb"], None, np.asarray(item["label"]),
+                                  rgb_view, None, np.asarray(item["label"]),
                                   pred)
         os.makedirs(out_dir, exist_ok=True)
         Image.fromarray(comp.astype(np.uint8)).save(

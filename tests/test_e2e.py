@@ -169,3 +169,39 @@ def test_resolve_checkpoint_spec_forms(e2e_cfg, tmp_path):
     m.close()
     with pytest.raises(SystemExit):
         resolve_checkpoint_spec("7", ckpt_dir)
+
+
+def test_eval_composite_color_convention(e2e_cfg, tmp_path):
+    """-s composites: photo panel is RGB order and class-color panels agree
+    with the palettised-PNG colors (regression: painting RGB triples into the
+    pipeline's BGR photo rendered the photo channel-swapped)."""
+    from PIL import Image
+
+    from rgbx_semantic_segmentation_tpu.data.dataset import RGBXDataset
+
+    cfg = e2e_cfg
+    state = train_lib.create_train_state(cfg, jax.random.PRNGKey(5))
+    val = ValLoader(cfg)
+    evaluator = SegEvaluator(cfg, state.apply_fn)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    save = str(tmp_path / "preds")
+    show = str(tmp_path / "compare")
+    evaluator.evaluate(variables, val.dataset, save_path=save,
+                       show_image_dir=show)
+
+    colors = np.asarray(
+        RGBXDataset.get_class_colors(cfg.dataset.dataset_name), np.uint8)
+    item = val.dataset[0]
+    name = item["fn"]
+    pred = np.asarray(Image.open(os.path.join(save, name + ".png")))
+    comp = np.asarray(Image.open(os.path.join(show, name + ".png")))
+    H, W = item["rgb"].shape[:2]
+    assert comp.shape == (H, 3 * W + 30, 3)  # [img | pred | gt], 15px pivots
+    np.testing.assert_array_equal(comp[:, :W], item["rgb"][:, :, ::-1])
+    np.testing.assert_array_equal(comp[:, W + 15:2 * W + 15], colors[pred])
+    # gt panel: class colors where labeled, white for ignore (show255)
+    gt = np.asarray(item["label"])
+    gt_panel = comp[:, 2 * W + 30:]
+    labeled = gt < len(colors)
+    np.testing.assert_array_equal(gt_panel[labeled], colors[gt[labeled]])
+    assert (gt_panel[gt == cfg.dataset.background] == 255).all()
