@@ -27,8 +27,7 @@ import jax
 import jax.numpy as jnp
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from rgbx_semantic_segmentation_tpu.ops.sr_attention import _round_up  # noqa: E402
 
 
 def _on_tpu() -> bool:

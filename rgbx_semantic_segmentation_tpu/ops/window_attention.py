@@ -106,6 +106,14 @@ def mesh_plan(batch: int):
     interpret = (not _on_tpu()) and interpret_requested()
     if not (_on_tpu() or interpret):
         return None
+    sp = axis_size("spatial")
+    if sp is not None and sp > 1:
+        # Mixed data x spatial: the kernel's shard_map in_specs would
+        # replicate qkv/bias over 'spatial' (a full all-gather + redundant
+        # compute per spatial shard), defeating the activation sharding the
+        # 2-D mesh exists for — let the XLA composition keep the spatial
+        # partitioning instead.
+        return None
     da = axis_size("data")
     if da is not None and da > 1 and batch % da == 0:
         return ("sharded", (mesh, "data"), interpret)

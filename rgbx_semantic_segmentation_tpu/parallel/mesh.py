@@ -6,8 +6,11 @@ on the 'data' axis and parameters replicated. Under `jit`, XLA inserts the
 gradient all-reduces over ICI (and the global BatchNorm reductions — SyncBN
 parity) automatically; there is no NCCL-style process zoo.
 
-The mesh is 1-D ('data') today — the reference supports data parallelism only
-(SURVEY.md §2.7). The axis names reserve room for spatial/model axes later.
+Three layouts (all beyond the reference's data-parallel-only runtime,
+selectable via train_cli --mesh): 1-D 'data' (DP), 2-D data x spatial
+(image-height sharding for large images, `make_mesh_2d`), and 2-D
+data x model tensor parallelism (megatron-style Mix-FFN/MLP hidden split,
+`make_mesh_dp_tp` + `_tp_spec`).
 """
 from __future__ import annotations
 
@@ -28,6 +31,8 @@ def make_mesh(devices: Optional[Sequence] = None,
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        assert 1 <= n_devices <= len(devices), (
+            f"need {n_devices} devices, have {len(devices)}")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
@@ -49,8 +54,11 @@ def make_mesh_2d(data: int, spatial: int,
 
 
 def spatial_batch_sharding(mesh: Mesh) -> NamedSharding:
-    """(B, H, ...) arrays: batch on 'data', height on 'spatial'."""
-    return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
+    """(B, H, ...) arrays: batch on 'data', height on 'spatial' — the 2-D
+    branch of the mesh-aware `batch_sharding` (shared so layout changes apply
+    to both entry points)."""
+    assert SPATIAL_AXIS in mesh.axis_names, mesh.axis_names
+    return batch_sharding(mesh)
 
 
 def make_mesh_dp_tp(data: int, model: int,
@@ -90,17 +98,21 @@ def _tp_spec(path: str, leaf, model: int) -> P:
 
     is_kernel = path.endswith("'kernel']")
     is_bias = path.endswith("'bias']")
-    if "fc1" in path:
+    # Exact module-key matches: SegNeXt's conv-FFN leaves (ffn_fc1/ffn_dwconv/
+    # ffn_fc2, 1x1 CONV kernels) must NOT match — a substring match split
+    # their biases while their 4-D kernels stayed replicated, breaking the
+    # whole-layer invariant below.
+    if "['fc1']" in path:
         if is_kernel and leaf.ndim == 2 and ok(1):
             return P(None, MODEL_AXIS)
         if is_bias and leaf.ndim == 1 and ok(0):
             return P(MODEL_AXIS)
-    if "dwconv" in path:
+    if "['dwconv']" in path:
         if is_kernel and leaf.ndim == 4 and ok(3):
             return P(None, None, None, MODEL_AXIS)
         if is_bias and leaf.ndim == 1 and ok(0):
             return P(MODEL_AXIS)
-    if "fc2" in path and is_kernel and leaf.ndim == 2 and ok(0):
+    if "['fc2']" in path and is_kernel and leaf.ndim == 2 and ok(0):
         return P(MODEL_AXIS, None)
     return P()
 

@@ -120,3 +120,10 @@ def test_make_mesh_from_spec():
         mesh_lib.make_mesh_from_spec("ring:3", 8)
     with pytest.raises(ValueError):
         mesh_lib.make_mesh_from_spec("2d:banana", 8)
+    # dp:N beyond the device count errors like 2d/tp do (regression: it
+    # silently truncated to the available devices); dp:0 errors cleanly too.
+    n = len(jax.devices())
+    with pytest.raises(ValueError, match="bad mesh spec"):
+        mesh_lib.make_mesh_from_spec(f"dp:{n + 1}", 8)
+    with pytest.raises(ValueError, match="bad mesh spec"):
+        mesh_lib.make_mesh_from_spec("dp:0", 8)

@@ -41,6 +41,15 @@ def test_tp_spec_rules():
     # Optimizer moments share the param paths -> same split.
     assert spec(".0.mu['params']['b']['mlp']['fc1']['kernel']", fc1_k, m) == \
         P(None, "model")
+    # SegNeXt's conv-FFN (ffn_fc1/ffn_dwconv/ffn_fc2) must NOT match: its 1x1
+    # conv kernels are 4-D (replicated), so splitting only the biases would
+    # break the whole-layer invariant (regression: substring matching).
+    assert spec("['params']['b']['ffn_fc1']['bias']", np.zeros(128), m) == P()
+    assert spec("['params']['b']['ffn_fc1']['kernel']",
+                np.zeros((1, 1, 32, 128)), m) == P()
+    assert spec("['params']['b']['ffn_dwconv']['kernel']",
+                np.zeros((3, 3, 1, 128)), m) == P()
+    assert spec("['params']['b']['ffn_dwconv']['bias']", np.zeros(128), m) == P()
 
 
 def test_tp_state_placement():

@@ -197,6 +197,13 @@ def test_mesh_plan_routing():
         kind, spec, _ = WA.mesh_plan(nd)           # divisible batch
         assert kind == "sharded" and spec[1] == "data"
         assert WA.mesh_plan(nd + 1) is None        # indivisible -> XLA
+    # Mixed data x spatial mesh: the kernel's shard_map would replicate
+    # qkv over 'spatial' (all-gather + redundant compute) — XLA composition
+    # keeps the spatial activation sharding instead (regression).
+    from rgbx_semantic_segmentation_tpu.parallel import mesh as mesh_lib
+    mesh2 = mesh_lib.make_mesh_2d(2, nd // 2)
+    with mesh2:
+        assert WA.mesh_plan(4) is None
 
 
 def test_swin_block_sharded_dispatch_matches_xla():
