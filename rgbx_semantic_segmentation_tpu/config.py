@@ -122,6 +122,11 @@ class TrainConfig:
     # per-config).
     ohem_thresh: float = 0.6
     ohem_min_kept: int = 256
+    # TopologyAwareLoss: the connected-component term round-trips to scipy
+    # via jax.pure_callback (matching the reference's CPU hop), which the
+    # axon TPU backend does not support — set False there to train with the
+    # boundary term only.
+    topology_with_connectivity: bool = True
     batch_size: int = 8
     nepochs: int = 200
     niters_per_epoch: int = 148       # num_train_imgs // batch_size + 1

@@ -52,7 +52,9 @@ def cross_entropy_loss(logits, labels, ignore_index: int = 255,
         denom = jnp.sum(valid)
     nll = nll * valid
     if reduction == "mean":
-        return jnp.sum(nll) / jnp.maximum(denom, 1.0)
+        # Guard only the empty case: torch's weighted mean divides by
+        # sum(w*valid) even when it is < 1 (clamping shrank the loss).
+        return jnp.sum(nll) / jnp.where(denom > 0, denom, 1.0)
     if reduction == "sum":
         return jnp.sum(nll)
     return nll
@@ -103,7 +105,9 @@ def focal_loss_2d(logits, labels, ignore_index: int = 255,
         denom = jnp.sum(valid)
     nll = nll * valid
     if reduction == "mean":
-        return jnp.sum(nll) / jnp.maximum(denom, 1.0)
+        # Guard only the empty case: torch's weighted mean divides by
+        # sum(w*valid) even when it is < 1 (clamping shrank the loss).
+        return jnp.sum(nll) / jnp.where(denom > 0, denom, 1.0)
     if reduction == "sum":
         return jnp.sum(nll)
     return nll
@@ -280,18 +284,20 @@ def mask2former_loss(pred_logits, pred_masks, labels, num_classes: int,
     mask_logits = pred_masks.transpose(0, 2, 3, 1)         # (B, H, W, Q)
     ce_mask = cross_entropy_loss(mask_logits, labels, ignore_index)
 
-    validf = valid[:, None].astype(jnp.float32)            # (B, 1, H, W)
     src = jax.nn.sigmoid(pred_masks)                       # (B, Q, H, W)
     src_sum = jnp.sum(src, axis=(2, 3))                    # (B, Q)
-    dice_total = 0.0
-    for c in range(num_classes):
-        tm = (safe_lab == c).astype(jnp.float32) * valid.astype(jnp.float32)
-        present = jnp.sum(tm) > 0
-        inter = jnp.sum(src * tm[:, None] * validf, axis=(2, 3))   # (B, Q)
-        denom = src_sum + jnp.sum(tm, axis=(1, 2))[:, None] + 1e-8
-        dice_score = 2.0 * inter / denom
-        dice_total = dice_total + jnp.where(present, 1.0 - jnp.mean(dice_score), 0.0)
-    dice_total = dice_total / num_classes
+    # All classes at once: the per-class target masks are the valid-masked
+    # one-hot labels, and the per-class intersections contract H*W in ONE
+    # MXU-shaped einsum instead of num_classes elementwise passes.
+    tmc = (jax.nn.one_hot(safe_lab, num_classes)
+           * valid.astype(jnp.float32)[..., None])         # (B, H, W, C)
+    inter = jnp.einsum("bqhw,bhwc->bqc", src, tmc)         # (B, Q, C)
+    tm_sum = jnp.sum(tmc, axis=(1, 2))                     # (B, C)
+    denom = src_sum[:, :, None] + tm_sum[:, None, :] + 1e-8
+    dice_score = 2.0 * inter / denom                       # (B, Q, C)
+    present = jnp.sum(tm_sum, axis=0) > 0                  # (C,)
+    per_class = jnp.where(present, 1.0 - jnp.mean(dice_score, axis=(0, 1)), 0.0)
+    dice_total = jnp.sum(per_class) / num_classes
 
     loss_mask = mask_weight * ce_mask + dice_weight * dice_total
     return class_weight * loss_ce + loss_mask
@@ -403,9 +409,12 @@ def build_criterion(cfg):
                                  thresh=cfg.train.ohem_thresh,
                                  min_kept=cfg.train.ohem_min_kept)
     if name == "TopologyAwareLoss":
+        with_conn = cfg.train.topology_with_connectivity
+
         def combined(logits, labels):
             return (cross_entropy_loss(logits, labels, ignore_index=ignore)
                     + 0.2 * topology_aware_loss(logits, labels,
-                                                ignore_index=ignore))
+                                                ignore_index=ignore,
+                                                with_connectivity=with_conn))
         return combined
     raise KeyError(f"unknown criterion {name!r}")

@@ -35,11 +35,17 @@ def weight_decay_mask(params) -> Any:
 
 def build_optimizer(cfg: Config, params) -> optax.GradientTransformation:
     tc = cfg.train
-    schedule = lr_schedules.build_schedule(tc.lr_policy, tc)
     mask = weight_decay_mask(params)
     name = tc.optimizer
+    # The schedule is only consumed by the AdamW / plain-SGD branches: LBFGS
+    # ignores it and CyclicLR-SGD builds its own paired lr+momentum schedules,
+    # so constructing it eagerly would raise spurious config errors there
+    # (e.g. LBFGS + MultiStageLR without lr_stages).
+    def schedule():
+        return lr_schedules.build_schedule(tc.lr_policy, tc)
+
     if name == "AdamW":
-        return optax.adamw(learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8,
+        return optax.adamw(learning_rate=schedule(), b1=0.9, b2=0.999, eps=1e-8,
                            weight_decay=tc.weight_decay, mask=mask)
     if name in ("SGDM", "SGD"):
         # reference: SGD(lr, momentum, weight_decay) — decay applied to the same
@@ -60,7 +66,7 @@ def build_optimizer(cfg: Config, params) -> optax.GradientTransformation:
             )
         return optax.chain(
             optax.add_decayed_weights(tc.weight_decay, mask=mask),
-            optax.sgd(learning_rate=schedule, momentum=tc.momentum),
+            optax.sgd(learning_rate=schedule(), momentum=tc.momentum),
         )
     if name == "LBFGS":
         # Reference train.py:127-135 constructs torch LBFGS(max_iter=20,

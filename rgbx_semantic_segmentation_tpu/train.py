@@ -109,12 +109,15 @@ def make_loss_fn(cfg: Config) -> Callable:
     return loss_fn
 
 
-def make_train_step(cfg: Config, state_sharding=None, batch_sharding=None):
+def make_train_step(cfg: Config, state_sharding=None, batch_sharding=None,
+                    seed: Optional[int] = None):
     """Build the jitted train step. With shardings given (from a Mesh), the step
-    is GSPMD-partitioned: batch on 'data', params replicated."""
+    is GSPMD-partitioned: batch on 'data', params replicated. `seed` overrides
+    cfg.train.seed for the dropout/droppath stream (kept in sync with
+    Trainer's init-seed override so seeded runs are fully independent)."""
     loss_fn = make_loss_fn(cfg)
     lbfgs = optim.is_lbfgs(cfg)
-    base_key = jax.random.PRNGKey(cfg.train.seed)
+    base_key = jax.random.PRNGKey(cfg.train.seed if seed is None else seed)
     mean = jnp.asarray(cfg.dataset.norm_mean, jnp.float32)
     std = jnp.asarray(cfg.dataset.norm_std, jnp.float32)
 
@@ -136,17 +139,19 @@ def make_train_step(cfg: Config, state_sharding=None, batch_sharding=None):
 
         def compute_loss(params):
             variables = {"params": params}
-            mutable = []
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-                mutable = ["batch_stats"]
-            out = state.apply_fn(variables, rgb_in, mx_in,
-                                 True, rngs=rngs, mutable=mutable)
-            if mutable:
-                outputs, new_vars = out
+                # mutable=[...] returns (out, vars); mutable=False (below)
+                # returns the bare output — flax returns (out, {}) even for
+                # mutable=[], so the branches must differ here.
+                outputs, new_vars = state.apply_fn(
+                    variables, rgb_in, mx_in, True, rngs=rngs,
+                    mutable=["batch_stats"])
                 new_stats = new_vars["batch_stats"]
             else:
-                outputs, new_stats = out, state.batch_stats
+                outputs = state.apply_fn(variables, rgb_in, mx_in, True,
+                                         rngs=rngs, mutable=False)
+                new_stats = state.batch_stats
             loss = loss_fn(outputs, label_in)
             return loss, new_stats
 
@@ -227,7 +232,7 @@ class Trainer:
         state_shardings = jax.tree_util.tree_map(lambda x: x.sharding, self.state)
         self.train_step = make_train_step(
             cfg, state_sharding=state_shardings,
-            batch_sharding=mesh_lib.batch_sharding(self.mesh))
+            batch_sharding=mesh_lib.batch_sharding(self.mesh), seed=seed)
         self.eval_step = make_eval_step(cfg)
         self.epoch = 0
 

@@ -179,3 +179,40 @@ def test_build_criterion():
     fn = losses.build_criterion(cfg)
     logits, labels = _case(13)
     assert np.isfinite(float(fn(logits, labels)))
+
+
+def test_cross_entropy_small_weights_matches_torch():
+    """Summed kept weights < 1: torch divides by the true weight sum
+    (regression: jnp.maximum(denom, 1.0) silently shrank loss + grads)."""
+    logits, labels = _case(17)
+    w = np.full((C,), 0.01, np.float32)
+    ref = F.cross_entropy(_t(logits), torch.from_numpy(labels),
+                          weight=torch.from_numpy(w), ignore_index=IGNORE).item()
+    got = float(losses.cross_entropy_loss(logits, labels, IGNORE, weight=w))
+    assert got == pytest.approx(ref, rel=1e-5)
+
+
+def test_topology_criterion_connectivity_knob(monkeypatch):
+    """cfg.train.topology_with_connectivity reaches topology_aware_loss —
+    the pure_callback connectivity term is unsupported on the axon TPU
+    backend and must be disableable from config."""
+    import dataclasses
+
+    from rgbx_semantic_segmentation_tpu.config import mfnet_config
+
+    seen = {}
+    real = losses.topology_aware_loss
+
+    def spy(*a, **kw):
+        seen.update(kw)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(losses, "topology_aware_loss", spy)
+    cfg = mfnet_config()
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, criterion="TopologyAwareLoss",
+        topology_with_connectivity=False))
+    fn = losses.build_criterion(cfg)
+    logits, labels = _case(19)
+    assert np.isfinite(float(fn(logits, labels)))
+    assert seen.get("with_connectivity") is False

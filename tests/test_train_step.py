@@ -133,3 +133,23 @@ def test_ifrm_iffm_train_step():
     step = train_lib.make_train_step(cfg)
     state, metrics = step(state, synthetic_batch(cfg))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_train_step_seed_override_changes_dropout_stream():
+    """make_train_step(seed=...) overrides cfg.train.seed for the
+    droppath/dropout RNG (regression: Trainer's seed override changed init
+    only, so 'independent' seeded runs shared dropout masks)."""
+    cfg = tiny_cfg(drop_path_rate=0.5)
+    batch = synthetic_batch(cfg)
+
+    def run(seed):
+        # fresh state per run: the jitted step donates its input state
+        state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+        return float(train_lib.make_train_step(cfg, seed=seed)(
+            state, batch)[1]["loss"])
+
+    loss_a = run(111)
+    loss_b = run(222)
+    loss_a2 = run(111)
+    assert loss_a == loss_a2          # deterministic per seed
+    assert loss_a != loss_b           # independent across seeds
