@@ -122,10 +122,10 @@ class TrainConfig:
     # per-config).
     ohem_thresh: float = 0.6
     ohem_min_kept: int = 256
-    # TopologyAwareLoss: the connected-component term round-trips to scipy
-    # via jax.pure_callback (matching the reference's CPU hop), which the
-    # axon TPU backend does not support — set False there to train with the
-    # boundary term only.
+    # TopologyAwareLoss: the connected-component term is XLA-native
+    # (losses._count_components_xla, min-label flooding) so the full loss
+    # jits on TPU — the reference round-trips every step's masks to CPU
+    # scipy (loss_opr.py:472-476). False trains with the boundary term only.
     topology_with_connectivity: bool = True
     batch_size: int = 8
     nepochs: int = 200

@@ -21,6 +21,8 @@ from __future__ import annotations
 import functools
 from typing import Any, Optional, Sequence
 
+import jax
+import jax.numpy as jnp
 from flax import linen as nn
 
 from rgbx_semantic_segmentation_tpu.models import fusion
@@ -134,18 +136,27 @@ class Attention(nn.Module):
         kv = constrain(kv, DATA)
         k = kv[:, :, 0].transpose(0, 2, 1, 3)
         v = kv[:, :, 1].transpose(0, 2, 1, 3)
-        # attn_drop sits between softmax and the v-matmul in the reference; the
-        # default rate is 0 everywhere (mit factories), so the fused path skips it.
+        # attn_drop sits between softmax and the v-matmul in the reference
+        # (:131-133); the default rate is 0 everywhere (mit factories). The
+        # fused kernels never materialise probs in HBM, so a non-zero training
+        # rate composes attention in XLA with Dropout on the fp32 probs;
+        # eval mode (dropout = identity) stays on the fused dispatch.
         # Under an active device mesh, pallas_call has no GSPMD partitioning
         # rule, so the kernel is explicitly shard_mapped instead
         # (sr_attention_sharded): batch on 'data', q tokens on 'spatial' when
         # rows divide (same layout the constrain() pins establish), kv
         # replicated over 'spatial' with a psum'd dk/dv backward.
-        out = self._attend(q, k, v, scale, n_spec)
+        if self.attn_drop > 0.0 and train:
+            logits = jnp.einsum(
+                "bhnd,bhmd->bhnm", q, k,
+                preferred_element_type=jnp.float32) * scale
+            probs = jax.nn.softmax(logits, axis=-1)
+            probs = nn.Dropout(self.attn_drop, deterministic=False)(probs)
+            out = jnp.einsum("bhnm,bhmd->bhnd", probs.astype(v.dtype), v)
+            out = out.transpose(0, 2, 1, 3).reshape(B, N, h * d)
+        else:
+            out = self._attend(q, k, v, scale, n_spec)
         out = constrain(out, DATA, n_spec, None)
-        if self.attn_drop > 0.0:
-            raise NotImplementedError(
-                "non-zero attn_drop is unused by every reference config")
         out = L.dense(self.dim, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
         return out

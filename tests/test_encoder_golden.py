@@ -158,3 +158,46 @@ def test_mit_b0pp_forward_golden():
     for i, (got, ref) in enumerate(zip(outs, refs)):
         np.testing.assert_allclose(np.asarray(got), _nhwc(ref), atol=2e-3,
                                    err_msg=f"stage {i}")
+
+
+def test_attn_drop_training_path():
+    """attn_drop > 0 trains (XLA probs-dropout path) and is identity at eval.
+
+    Reference applies Dropout between softmax and the v-matmul
+    (dual_segformer.py:131-133); no shipped config uses a non-zero rate, but
+    the knob must work. Eval mode must bypass dropout entirely (fused-kernel
+    dispatch), matching torch eval() semantics.
+    """
+    import jax
+    import jax.numpy as jnp
+    from rgbx_semantic_segmentation_tpu.models.encoders.dual_segformer import (
+        Attention)
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 64, 32).astype(np.float32))
+    mod = Attention(32, num_heads=2, attn_drop=0.5, sr_ratio=2)
+    variables = mod.init(jax.random.PRNGKey(0), x, 8, 8)
+
+    # eval: rate ignored, equals the attn_drop=0 module bit-for-bit
+    ref = Attention(32, num_heads=2, attn_drop=0.0, sr_ratio=2)
+    out_eval = mod.apply(variables, x, 8, 8, train=False)
+    out_ref = ref.apply(variables, x, 8, 8, train=False)
+    np.testing.assert_array_equal(np.asarray(out_eval), np.asarray(out_ref))
+
+    # train: stochastic (two dropout streams differ), finite, and grads flow
+    o1 = mod.apply(variables, x, 8, 8, train=True,
+                   rngs={"dropout": jax.random.PRNGKey(1)})
+    o2 = mod.apply(variables, x, 8, 8, train=True,
+                   rngs={"dropout": jax.random.PRNGKey(2)})
+    assert np.isfinite(np.asarray(o1)).all()
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+    def loss(params):
+        out = mod.apply({"params": params}, x, 8, 8, train=True,
+                        rngs={"dropout": jax.random.PRNGKey(3)})
+        return jnp.sum(out ** 2)
+
+    grads = jax.grad(loss)(variables["params"])
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    assert any(np.abs(np.asarray(g)).max() > 0 for g in flat)

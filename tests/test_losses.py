@@ -216,3 +216,89 @@ def test_topology_criterion_connectivity_knob(monkeypatch):
     logits, labels = _case(19)
     assert np.isfinite(float(fn(logits, labels)))
     assert seen.get("with_connectivity") is False
+
+
+def test_count_components_xla_scipy_parity():
+    """The on-device component counter matches scipy `nd.label` (the host
+    oracle) — incl. 4-connectivity semantics (diagonal touching = separate),
+    empty maps, full maps, and random speckle."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(42)
+    cases = []
+    # random speckle at several densities: many tiny components
+    for p in (0.2, 0.5, 0.8):
+        cases.append((rng.rand(2, 3, 24, 17) < p).astype(np.float32))
+    # degenerate: all-zero and all-one maps
+    cases.append(np.zeros((1, 2, 8, 8), np.float32))
+    cases.append(np.ones((1, 2, 8, 8), np.float32))
+    # diagonal-only touching: 4-connectivity counts two components
+    diag = np.zeros((1, 1, 6, 6), np.float32)
+    diag[0, 0, 1, 1] = diag[0, 0, 2, 2] = 1.0
+    cases.append(diag)
+    # a U-shape: one component whose graph diameter exceeds one CHUNK
+    u = np.zeros((1, 1, 40, 40), np.float32)
+    u[0, 0, :, 0] = u[0, 0, :, -1] = u[0, 0, -1, :] = 1.0
+    cases.append(u)
+    # a boustrophedon snake: one component with graph diameter ~H*W/2,
+    # the worst case for pure sweeps — exercises the pointer-jump rounds
+    snake = np.zeros((1, 1, 60, 60), np.float32)
+    snake[0, 0, ::2, :] = 1.0
+    for r in range(1, 59, 2):
+        snake[0, 0, r, 59 if (r // 2) % 2 == 0 else 0] = 1.0
+    cases.append(snake)
+
+    count = jax.jit(losses._count_components_xla)
+    for m in cases:
+        got = np.asarray(count(jnp.asarray(m)))
+        want = losses._count_components_host(m)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_topology_loss_xla_connectivity_matches_host():
+    """topology_aware_loss with the default XLA connectivity equals the
+    pure_callback/scipy path bit-for-bit, and jits whole."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(3)
+    logits = jnp.asarray(rng.randn(2, 16, 16, 5).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 5, (2, 16, 16)).astype(np.int32))
+    labels = labels.at[0, :2, :2].set(IGNORE)
+
+    xla = jax.jit(lambda lg, lb: losses.topology_aware_loss(lg, lb, IGNORE))(
+        logits, labels)
+    host = losses.topology_aware_loss(logits, labels, IGNORE,
+                                      connectivity_impl="host")
+    np.testing.assert_allclose(float(xla), float(host), rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("name", [
+    "CrossEntropyLoss", "FocalLoss", "SigmoidFocalLoss", "BalanceLoss",
+    "DiceCELoss", "DiceLoss", "RCELoss", "berHuLoss", "FocalLoss2d",
+    "CE_Focal", "TopologyAwareCE", "TopologyAwareLoss", "OhemCrossEntropy",
+])
+def test_build_criterion_every_reference_name(name):
+    """Every criterion name reference train.py:70-95 accepts (plus our
+    aliases) builds, returns a finite scalar, and has finite nonzero grads.
+    berHuLoss is a documented adaptation: the reference wiring broadcasts
+    (B,C,H,W) logits against (B,H,W) labels and crashes for every dataset."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from rgbx_semantic_segmentation_tpu.config import mfnet_config
+
+    cfg = mfnet_config()
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, criterion=name))
+    fn = losses.build_criterion(cfg)
+    logits, labels = _case(11)
+    logits, labels = jnp.asarray(logits), jnp.asarray(labels)
+
+    val, grad = jax.value_and_grad(lambda lg: fn(lg, labels))(logits)
+    assert np.isfinite(float(val))
+    g = np.asarray(grad)
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0
