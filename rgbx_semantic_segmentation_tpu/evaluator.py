@@ -60,7 +60,8 @@ class SegEvaluator:
     """Whole-dataset sliding-window evaluator."""
 
     def __init__(self, cfg: Config, apply_fn, class_names=None,
-                 compat_double_normalize: bool = False, mesh=None):
+                 compat_double_normalize: bool = False,
+                 compat_stride_swap: bool = False, mesh=None):
         self.cfg = cfg
         self.crop = tuple(cfg.eval.eval_crop_size)
         self.stride_rate = cfg.eval.eval_stride_rate
@@ -71,6 +72,13 @@ class SegEvaluator:
         self.norm_std = cfg.dataset.norm_std
         self.class_names = class_names or list(cfg.dataset.class_names)
         self.compat_double_normalize = compat_double_normalize
+        # Replicate the reference's swapped h/w stride + crop-extent indices
+        # in the sliding grid (reference evaluator.py:345-358) so reference-
+        # trained checkpoints can be scored under the PUBLISHED protocol
+        # (a no-op for square crops / exact-fit images). Parity proven by
+        # tests/test_eval_protocol_golden.py against the reference's own
+        # torch evaluator code.
+        self.compat_stride_swap = compat_stride_swap
         self._apply_fn = apply_fn
         # Optional device mesh: batched eval shards images across the 'data'
         # axis — the reference's multi-GPU eval process fan-out
@@ -144,16 +152,70 @@ class SegEvaluator:
             return score[margin[0]:score.shape[0] - margin[1],
                          margin[2]:score.shape[1] - margin[3]]
 
+        if self.compat_stride_swap:
+            return self._windows_forward_stride_swap(variables, img, modal_x)
         img_p, margin = cv_ops.pad_to_shape(img, self.crop, value=0)
         modal_p, _ = cv_ops.pad_to_shape(modal_x, self.crop, value=0)
         ph, pw = img_p.shape[:2]
         grid = _window_grid(ph, pw, self.crop, self.stride_rate)
         rgb_windows = np.stack([img_p[y:y + ch, x:x + cw] for (y, x) in grid])
         mx_windows = np.stack([modal_p[y:y + ch, x:x + cw] for (y, x) in grid])
+        rgb_windows, mx_windows = self._shard(rgb_windows, mx_windows)
         scores = np.asarray(self._fwd(variables, rgb_windows, mx_windows))
         canvas = np.zeros((ph, pw, self.num_classes), np.float32)
         for (y, x), s in zip(grid, scores):
             canvas[y:y + ch, x:x + cw] += s  # exp-score sum (evaluator.py:364)
+        return canvas[margin[0]:ph - margin[1], margin[2]:pw - margin[3]]
+
+    def _windows_forward_stride_swap(self, variables, img: np.ndarray,
+                                     modal_x: np.ndarray) -> np.ndarray:
+        """Reference-EXACT sliding grid (compat_stride_swap=True).
+
+        The reference swaps the h/w stride AND crop-extent indices when
+        computing window positions (evaluator.py:345-352: s_x steps by the
+        ROW stride with crop_h x-extent, s_y by the COL stride with crop_w
+        y-extent), so its windows are crop_h wide and crop_w tall, each
+        re-padded to the crop with centred margins (process_image_rgbX) and
+        accumulated back through possibly-NEGATIVE start indices (python
+        slice wrap). Replicated verbatim — including the incomplete canvas
+        coverage it can produce — so reference-trained checkpoints score
+        identically under the published protocol. A no-op for square crops.
+        """
+        ch, cw = self.crop
+        img_p, margin = cv_ops.pad_to_shape(img, self.crop, value=0)
+        modal_p, _ = cv_ops.pad_to_shape(modal_x, self.crop, value=0)
+        ph, pw = img_p.shape[:2]
+        sy = int(math.ceil(ch * self.stride_rate))  # row stride
+        sx = int(math.ceil(cw * self.stride_rate))  # col stride
+        r_grid = int(math.ceil((ph - ch) / sy)) + 1
+        c_grid = int(math.ceil((pw - cw) / sx)) + 1
+        rects = []
+        for gy in range(r_grid):
+            for gx in range(c_grid):
+                e_x = min(gx * sy + ch, pw)  # swapped: row stride, crop_h
+                e_y = min(gy * sx + cw, ph)  # swapped: col stride, crop_w
+                s_x = e_x - ch
+                s_y = e_y - cw
+                # python-slice semantics for negative starts (the reference
+                # indexes numpy/torch with possibly-negative s_y/s_x).
+                a_y = max(ph + s_y, 0) if s_y < 0 else s_y
+                a_x = max(pw + s_x, 0) if s_x < 0 else s_x
+                rects.append((a_y, e_y, a_x, e_x))
+        rgb_w, mx_w, tmargins = [], [], []
+        for (ay, ey, ax, ex) in rects:
+            sub_p, tm = cv_ops.pad_to_shape(img_p[ay:ey, ax:ex], self.crop,
+                                            value=0)
+            msub_p, _ = cv_ops.pad_to_shape(modal_p[ay:ey, ax:ex], self.crop,
+                                            value=0)
+            rgb_w.append(sub_p)
+            mx_w.append(msub_p)
+            tmargins.append(tm)
+        rgb_b, mx_b = self._shard(np.stack(rgb_w), np.stack(mx_w))
+        scores = np.asarray(self._fwd(variables, rgb_b, mx_b))
+        canvas = np.zeros((ph, pw, self.num_classes), np.float32)
+        for (ay, ey, ax, ex), tm, s in zip(rects, tmargins, scores):
+            s = s[tm[0]:s.shape[0] - tm[1], tm[2]:s.shape[1] - tm[3]]
+            canvas[ay:ey, ax:ex] += s
         return canvas[margin[0]:ph - margin[1], margin[2]:pw - margin[3]]
 
     def sliding_eval_rgbx(self, variables, img: np.ndarray,

@@ -149,8 +149,13 @@ def balance_loss(logits, labels, ignore_index: int = 255):
     return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1.0)
 
 
-def berhu_loss(pred, target, ignore_index: int = 0, delta: float = 0.2):
-    """Reverse Huber regression loss (reference loss_opr.py:82-101)."""
+def berhu_loss(pred, target, ignore_index: int = 0, delta: float = 0.2,
+               normalizer=None):
+    """Reverse Huber regression loss (reference loss_opr.py:82-101).
+
+    `normalizer`: divide the summed loss by this count instead of the
+    all-element mean — callers with an external validity mask (berhu_seg)
+    pass the valid-element count so ignored pixels don't dilute the loss."""
     pred = pred.astype(jnp.float32)
     target = target.astype(jnp.float32)
     valid = (target != ignore_index).astype(jnp.float32)
@@ -163,7 +168,9 @@ def berhu_loss(pred, target, ignore_index: int = 0, delta: float = 0.2):
     s_mask = (1.0 - f_mask) * valid
     f_term = valid_delta * f_mask
     s_term = (valid_delta ** 2 + d ** 2) / (2.0 * d + 1e-12) * s_mask
-    return jnp.mean(f_term + s_term)
+    if normalizer is None:
+        return jnp.mean(f_term + s_term)
+    return jnp.sum(f_term + s_term) / jnp.maximum(normalizer, 1.0)
 
 
 def dice_loss(logits, labels, ignore_index: int = 255, smooth: float = 1e-6,
@@ -386,9 +393,16 @@ def _count_components_xla(masks) -> jnp.ndarray:
     def round_(lab):
         return jump(jax.lax.fori_loop(0, CHUNK, sweep, lab))
 
+    # Pointer jumping halves every hook chain per round, so convergence takes
+    # O(log2(H*W)) rounds; the cap is a FAIL-FAST backstop (a few multiples of
+    # the bound), not a correctness knob — if a future edit breaks the
+    # monotone-invariant, the loop stops in ~100 rounds instead of silently
+    # spinning for H*W (~307k at 480x640) on-device iterations.
+    max_rounds = jnp.int32(4 * (int(np.ceil(np.log2(max(H * W, 2)))) + 2))
+
     def cond(state):
         lab, prev, i = state
-        return jnp.logical_and(jnp.any(lab != prev), i < H * W)
+        return jnp.logical_and(jnp.any(lab != prev), i < max_rounds)
 
     def body(state):
         lab, _, i = state
@@ -497,8 +511,11 @@ def build_criterion(cfg):
             oh = _one_hot_safe(jnp.where(valid[..., 0] > 0, labels, 0),
                                num_classes) * valid
             # one-hot targets are in {0,1}: ignore_index=-1 disables berHu's
-            # own target-value masking (validity is pre-applied above).
-            return berhu_loss(probs, oh, ignore_index=-1)
+            # own target-value masking (validity is pre-applied above), and
+            # the normalizer is the valid-element count (valid pixels x C) so
+            # the loss magnitude is independent of the ignore fraction.
+            return berhu_loss(probs, oh, ignore_index=-1,
+                              normalizer=jnp.sum(valid) * num_classes)
         return berhu_seg
     if name == "CE_Focal":
         # Tuple criterion CE + 0.2*Focal (reference train.py:84-88 +

@@ -31,6 +31,7 @@ def _mit_entries():
     Covers the 18 mit_* names of reference builder.py:66-150."""
     out = {}
     factories = {
+        "mit_tiny": dual_segformer.mit_tiny,
         "mit_b0": dual_segformer.mit_b0, "mit_b1": dual_segformer.mit_b1,
         "mit_b2": dual_segformer.mit_b2, "mit_b3": dual_segformer.mit_b3,
         "mit_b4": dual_segformer.mit_b4, "mit_b5": dual_segformer.mit_b5,

@@ -150,9 +150,15 @@ class Attention(nn.Module):
             logits = jnp.einsum(
                 "bhnd,bhmd->bhnm", q, k,
                 preferred_element_type=jnp.float32) * scale
+            # Pin the materialised fp32 probs to q's layout so the backward
+            # reshape stays sharded under a mesh (the unpinned-backward-
+            # reshape hazard the fused path avoids by construction).
+            logits = constrain(logits, DATA, None, n_spec, None)
             probs = jax.nn.softmax(logits, axis=-1)
             probs = nn.Dropout(self.attn_drop, deterministic=False)(probs)
+            probs = constrain(probs, DATA, None, n_spec, None)
             out = jnp.einsum("bhnm,bhmd->bhnd", probs.astype(v.dtype), v)
+            out = constrain(out, DATA, None, n_spec, None)
             out = out.transpose(0, 2, 1, 3).reshape(B, N, h * d)
         else:
             out = self._attend(q, k, v, scale, n_spec)
@@ -362,6 +368,15 @@ def mit_b0(**kw):
     return _mit((32, 64, 160, 256), (2, 2, 2, 2), **kw)()
 
 
+def mit_tiny(**kw):
+    """Test-scale variant (no reference counterpart): one block per stage.
+    Exercises every architectural path of the MiT family (patch embeds,
+    SR-attention at all 4 sr_ratios, Mix-FFN, FRM/FFM) at half mit_b0's
+    graph size — used by the multichip dry run and mesh tests to keep
+    XLA:CPU GSPMD compile time inside CI budgets."""
+    return _mit((32, 64, 160, 256), (1, 1, 1, 1), **kw)()
+
+
 def mit_b1(**kw):
     return _mit((64, 128, 320, 512), (2, 2, 2, 2), **kw)()
 
@@ -384,6 +399,7 @@ def mit_b5(**kw):
 
 # Output channel lists per variant (what decoders consume).
 CHANNELS = {
+    "mit_tiny": (32, 64, 160, 256),
     "mit_b0": (32, 64, 160, 256),
     "mit_b1": (64, 128, 320, 512),
     "mit_b2": (64, 128, 320, 512),

@@ -45,8 +45,12 @@ def build_optimizer(cfg: Config, params) -> optax.GradientTransformation:
         return lr_schedules.build_schedule(tc.lr_policy, tc)
 
     if name == "AdamW":
-        return optax.adamw(learning_rate=schedule(), b1=0.9, b2=0.999, eps=1e-8,
-                           weight_decay=tc.weight_decay, mask=mask)
+        # inject_hyperparams makes the *applied* LR readable from opt_state
+        # (see applied_lr) — the log reads the source of truth instead of a
+        # second, independently-built schedule that could silently diverge.
+        return optax.inject_hyperparams(optax.adamw, static_args=("mask",))(
+            learning_rate=schedule(), b1=0.9, b2=0.999, eps=1e-8,
+            weight_decay=tc.weight_decay, mask=mask)
     if name in ("SGDM", "SGD"):
         # reference: SGD(lr, momentum, weight_decay) — decay applied to the same
         # decay group only.
@@ -66,7 +70,8 @@ def build_optimizer(cfg: Config, params) -> optax.GradientTransformation:
             )
         return optax.chain(
             optax.add_decayed_weights(tc.weight_decay, mask=mask),
-            optax.sgd(learning_rate=schedule(), momentum=tc.momentum),
+            optax.inject_hyperparams(optax.sgd)(
+                learning_rate=schedule(), momentum=tc.momentum),
         )
     if name == "LBFGS":
         # Reference train.py:127-135 constructs torch LBFGS(max_iter=20,
@@ -77,6 +82,30 @@ def build_optimizer(cfg: Config, params) -> optax.GradientTransformation:
         # linesearch can re-evaluate the loss (see train.make_train_step).
         return optax.lbfgs(learning_rate=tc.lr)
     raise KeyError(f"unknown optimizer {name!r}")
+
+
+def applied_lr(opt_state):
+    """The learning rate the optimizer ACTUALLY applied at its last update,
+    read from the inject_hyperparams state inside `opt_state`. Returns None
+    when no injected LR exists (LBFGS: constant cfg.train.lr).
+
+    This is the observability source of truth — train_cli logs this instead
+    of evaluating a second schedule object that could diverge from the one
+    compiled into the update (e.g. CyclicLR's paired lr+momentum injection).
+    """
+    def find(state):
+        hp = getattr(state, "hyperparams", None)
+        if isinstance(hp, dict) and "learning_rate" in hp:
+            return hp["learning_rate"]
+        if isinstance(state, (tuple, list)):
+            for s in state:
+                got = find(s)
+                if got is not None:
+                    return got
+        return None
+
+    lr = find(opt_state)
+    return None if lr is None else float(jax.device_get(lr))
 
 
 def is_lbfgs(cfg: Config) -> bool:

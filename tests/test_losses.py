@@ -112,6 +112,32 @@ def test_berhu_loss_matches_reference_formula():
     assert got == pytest.approx(float(ref), rel=1e-4)
 
 
+def test_berhu_seg_normalizes_by_valid_count():
+    """berhu_seg's normalizer is the VALID-pixel count: padding a batch with
+    ignored pixels must not dilute the loss (ADVICE r2: the all-pixel mean
+    shrank the loss proportionally to the ignore fraction)."""
+    from rgbx_semantic_segmentation_tpu.config import mfnet_config
+    import dataclasses
+
+    cfg = mfnet_config()
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                criterion="berHuLoss"))
+    crit = losses.build_criterion(cfg)
+    rng = np.random.RandomState(11)
+    logits = rng.randn(2, H, W, cfg.dataset.num_classes).astype(np.float32)
+    labels = rng.randint(0, cfg.dataset.num_classes,
+                         (2, H, W)).astype(np.int32)
+    base = float(crit(logits, labels))
+    # Double the spatial area with ignored pixels only.
+    pad_logits = np.concatenate(
+        [logits, rng.randn(*logits.shape).astype(np.float32)], axis=1)
+    pad_labels = np.concatenate(
+        [labels, np.full_like(labels, IGNORE)], axis=1)
+    padded = float(crit(pad_logits, pad_labels))
+    assert padded == pytest.approx(base, rel=1e-5), \
+        "ignored pixels diluted the berHu loss"
+
+
 def test_rce_loss_value():
     # Reference RCELoss calls .cuda() so can't run on CPU; check the analytic
     # value instead: loss2 per valid misclassified pixel is -log(1e-9).

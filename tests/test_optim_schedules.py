@@ -71,6 +71,36 @@ def test_every_optimizer_schedule_combo_builds_and_steps(optimizer, lr_policy):
         assert float(_quadratic_loss(params)) < float(_quadratic_loss(p0))
 
 
+@pytest.mark.parametrize("optimizer", ["AdamW", "SGDM"])
+@pytest.mark.parametrize("lr_policy", SCHEDULES)
+def test_applied_lr_matches_schedule(optimizer, lr_policy):
+    """optim.applied_lr reads the LR the optimizer ACTUALLY used from the
+    inject_hyperparams state — train_cli logs it (VERDICT r2 #7: the old log
+    evaluated a second, independently-built schedule). At update k the
+    injected LR is schedule(k), so after n updates the state holds
+    schedule(n-1)."""
+    cfg = train_cfg(optimizer, lr_policy)
+    sched = lr_schedules.build_schedule(lr_policy, cfg.train)
+    params = _params()
+    tx = optim.build_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    for k in range(4):
+        grads = jax.grad(_quadratic_loss)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        got = optim.applied_lr(opt_state)
+        assert got is not None
+        assert got == pytest.approx(float(sched(k)), rel=1e-6, abs=1e-12), \
+            f"step {k}: applied {got} vs schedule {float(sched(k))}"
+
+
+def test_applied_lr_none_for_lbfgs():
+    cfg = train_cfg("LBFGS", "WarmUpPolyLR")
+    params = _params()
+    tx = optim.build_optimizer(cfg, params)
+    assert optim.applied_lr(tx.init(params)) is None
+
+
 def test_cyclic_momentum_schedule_injected():
     """SGDM + CyclicLR pairs the cosine lr with the inverse momentum schedule
     via inject_hyperparams (reference lr_policy.py:68-97, unusable there: its

@@ -45,7 +45,7 @@ def main():
 
     import jax
 
-    from rgbx_semantic_segmentation_tpu import convert, lr_schedules, train as train_lib
+    from rgbx_semantic_segmentation_tpu import convert, optim, train as train_lib
     from rgbx_semantic_segmentation_tpu.config import get_config
     from rgbx_semantic_segmentation_tpu.data.loader import TrainLoader
     from rgbx_semantic_segmentation_tpu.engine import Engine
@@ -114,7 +114,6 @@ def main():
         # 306-307): JSONL always, TensorBoard mirror when available.
         import os as _os
         writer = MetricsWriter(_os.path.join(cfg.log_dir, cfg.tag()))
-        sched = lr_schedules.build_schedule(cfg.train.lr_policy, cfg.train)
         engine.install_preemption_handler()
         logger.info("training %s: %d epochs x %d iters, global batch %d",
                     cfg.tag(), cfg.train.nepochs, loader.niters,
@@ -128,8 +127,12 @@ def main():
             engine.drain_preemption(epoch, trainer.state)
             step_idx = int(trainer.state.step)
             writer.scalar("train/epoch_loss", avg_loss, epoch)
-            writer.scalar("train/learning_rate", float(sched(step_idx)),
-                          step_idx)
+            # LR read from the optimizer state itself (inject_hyperparams) —
+            # provably the value the last update applied. LBFGS keeps a
+            # constant lr with no injected state.
+            lr_now = optim.applied_lr(trainer.state.opt_state)
+            writer.scalar("train/learning_rate",
+                          cfg.train.lr if lr_now is None else lr_now, step_idx)
             logger.info("epoch %d/%d loss %.4f (%.1fs, %.2f img/s)",
                         epoch, cfg.train.nepochs, avg_loss, time.time() - t0,
                         loader.niters * cfg.train.batch_size / (time.time() - t0))
