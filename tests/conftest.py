@@ -18,21 +18,26 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
 # Persistent compilation cache: the suite's wall time is dominated by repeated
 # XLA:CPU GSPMD compiles (sharding tests alone were >10 min cold in r2).
-# Warm reruns skip them entirely. Safe to share with bench.py's TPU cache —
-# entries are keyed by platform + HLO.
+# Warm reruns skip them entirely. Keyed PER MACHINE (same scheme as
+# __graft_entry__._machine_cache_key): XLA:CPU AOT entries embed the compile
+# host's CPU features, and loading them on a different host fails at
+# cpu_aot_loader.cc:210 — full cold compile anyway plus an error line per
+# entry. bench.py's TPU cache stays at the top-level dir.
+import __graft_entry__  # noqa: E402  (repo root is on sys.path via rootdir)
+
 _cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                          ".jax_cache")
+                          ".jax_cache", f"cpu-{__graft_entry__._machine_cache_key()}")
 try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 except Exception:
     pass
-
-REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-if REPO_ROOT not in sys.path:
-    sys.path.insert(0, REPO_ROOT)
 
 REFERENCE_ROOT = "/root/reference"
 
@@ -111,6 +116,12 @@ def reference_path():
     """
     _install_timm_shim()
     _install_easydict_shim()
+    # py3.10 compat: reference utils/transforms.py:13 uses the pre-3.3
+    # `collections.Iterable` alias (removed in 3.10).
+    import collections
+    import collections.abc
+    if not hasattr(collections, "Iterable"):
+        collections.Iterable = collections.abc.Iterable
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     return REFERENCE_ROOT
