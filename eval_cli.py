@@ -43,6 +43,16 @@ def main():
     parser.add_argument("-v", "--verbose", action="store_true",
                         help="log the running metric after every image "
                              "(reference eval.py:89, evaluator.py:138-143)")
+    parser.add_argument("--compat-stride-swap", action="store_true",
+                        help="replicate the reference's swapped h/w stride "
+                             "indices in the sliding grid (reference "
+                             "evaluator.py:345-358) — use when scoring "
+                             "reference-trained checkpoints under the "
+                             "PUBLISHED protocol; golden-tested in "
+                             "tests/test_eval_protocol_golden.py")
+    parser.add_argument("--compat-double-normalize", action="store_true",
+                        help="replicate the reference fork's double "
+                             "normalization (ValPre then process_image_rgbX)")
     args = parser.parse_args()
 
     import dataclasses
@@ -117,7 +127,10 @@ def main():
         all_devices = jax.devices()
         devices = [all_devices[i] for i in parse_devices(args.devices)]
     mesh = mesh_lib.make_mesh(devices)
-    evaluator = SegEvaluator(cfg, state.apply_fn, mesh=mesh)
+    evaluator = SegEvaluator(
+        cfg, state.apply_fn, mesh=mesh,
+        compat_stride_swap=args.compat_stride_swap,
+        compat_double_normalize=args.compat_double_normalize)
     show_dir = None
     if args.show_image:
         show_dir = (args.save_path or os.path.join(
