@@ -117,11 +117,12 @@ class WindowAttention(nn.Module):
 
         - (B, Hp, Wp, C) whole padded/rolled image — the fused-kernel path
           (caller gates on `use_pallas` + WA.usable): qkv projects on the
-          image, ONE transpose packs (slice-major, batch-inner) kernel
-          layout, the qk+bias+softmax+dropout+pv middle runs in
-          ops/window_attention.py (probs never touch HBM), one transpose
-          restores image layout. P windows along the i axis share a slice
-          block-diagonally (WA.pack_factor).
+          image, ONE channel-intact token-regrouping transpose packs
+          (S, B, T, 3C) kernel layout, the qk+bias+softmax+dropout+pv
+          middle runs in ops/window_attention.py (heads split in-kernel;
+          probs never touch HBM), one transpose restores image layout.
+          P windows along the i axis share a slice block-diagonally
+          (WA.pack_factor).
         - (B_, N, C) pre-partitioned windows — the reference XLA composition
           (dual_swin.py:117-155), the fallback and golden-test path.
 
@@ -149,17 +150,22 @@ class WindowAttention(nn.Module):
             nW = ni * nj
             P = WA.pack_factor(ni, N)
             nip = ni // P
-            G = nip * nj * h
-            qkv = qkv_dense(x).reshape(B, nip, P, ws, nj, ws, 3, h, d)
-            qkv = qkv.transpose(1, 4, 7, 6, 0, 2, 3, 5, 8).reshape(
-                G, 3, B, P * N, d)
+            S = nip * nj
+            # v3 kernel layout (ops/window_attention.py): the channel dim
+            # stays INTACT (heads/components split in-kernel), so this
+            # transpose is a pure token regrouping with ws*3C-contiguous
+            # runs — v2's head-major layout moved d=32 (64-byte) runs and
+            # cost ~135 ms/step at swin_s b8 (docs/PERF.md "Swin").
+            qkv = qkv_dense(x).reshape(B, nip, P, ws, nj, ws, 3 * C)
+            qkv = qkv.transpose(1, 4, 0, 2, 3, 5, 6).reshape(
+                S, B, P * N, 3 * C)
             if mask is not None:
                 comb = jnp.asarray(mask)[:, None] + bias[None]  # (nW, h, N, N)
             else:
                 comb = jnp.broadcast_to(bias[None], (nW, h, N, N))
             comb = (comb.reshape(nip, P, nj, h, N, N)
                     .transpose(0, 2, 3, 1, 4, 5)
-                    .reshape(G, P, N, N).astype(jnp.float32))
+                    .reshape(S, h, P, N, N).astype(jnp.float32))
             rate = self.attn_drop if train else 0.0
             if rate > 0.0:
                 key = self.make_rng("dropout")
@@ -177,8 +183,8 @@ class WindowAttention(nn.Module):
                 out = WA.window_attention_sharded(
                     qkv, comb, seed, scale, rate, mesh, data_axis,
                     interpret=plan[2])
-            out = (out.reshape(nip, nj, h, B, P, ws, ws, d)
-                   .transpose(3, 0, 4, 5, 1, 6, 2, 7)
+            out = (out.reshape(nip, nj, B, P, ws, ws, C)
+                   .transpose(2, 0, 3, 4, 1, 5, 6)
                    .reshape(B, Hp, Wp, C))
             out = proj_dense(out)
             return nn.Dropout(self.proj_drop, deterministic=not train)(out)

@@ -1,4 +1,4 @@
-"""Fused window-attention Pallas kernel (Swin W-MSA / SW-MSA).
+"""Fused window-attention Pallas kernel (Swin W-MSA / SW-MSA), v3.
 
 The Swin towers' hot op is tens of thousands of tiny (N=ws^2=49, d=32)
 self-attentions with a trainable relative-position bias and (for shifted
@@ -12,18 +12,29 @@ structural problems make the XLA lowering slow on TPU:
  2. Tiny units: a (49, 32) matmul under-fills the MXU ~12x and every
     window/head/batch slice is its own serial chain.
 
-Design (v2, measured trajectory in docs/PERF.md):
+v2 fixed (1) and (2) (probs/mask never in HBM; P windows packed
+block-diagonally into T = P*N-token units) but its kernel layout
+(G=(nW/P)*h slice-major, components/heads split OUT of the channel dim)
+made the XLA pack/unpack transposes move d=32 bf16 (64-byte) runs —
+~135 ms/step of layout copies at swin_s b8, the single largest line of the
+step (docs/PERF.md "Swin").
 
-  - One packed qkv operand (G, 3, B, T, d), G = (nW/P)*h slice-major with
-    batch INNER, T = P*N: the module does ONE layout transpose from the
-    padded image into kernel layout (and one back) instead of
-    partition + per-component head transposes + reverse — the copy bill was
-    the single largest line (88 ms) of the step.
+v3 keeps the image's CHANNEL DIM INTACT through the layout transition and
+splits components/heads INSIDE the kernel:
+
+  - qkv stays (S, B, T, 3C) with the dense layer's native (3, h, d) column
+    order (= torch's qkv weight layout, so convert.py is unaffected): the
+    pack transpose becomes a pure token regrouping with ws*3C-contiguous
+    runs (~4 KB at stage 1 vs 64 B in v2 — DMA at bandwidth instead of
+    gather speed), and the unpack the same with ws*C runs.
+  - The kernel slices q/k/v per head off the lane dim in VMEM (static
+    32-lane-aligned value slices -> in-register relayouts, VPU-cheap) and
+    loops heads in-program; per-head outputs are concatenated back to one
+    (T, C) lane-contiguous store.
   - P consecutive windows run as ONE block-diagonal attention of T = P*N
-    tokens (off-diagonal token pairs get -1e9): fewer, bigger serial units.
-    The block-diagonal bias is assembled in VMEM per slice from compact
-    (P, N, N) blocks — materializing it in XLA cost 25 ms/step in
-    broadcast/where/reduce ops on (PN, PN)-padded layouts.
+    tokens (off-diagonal token pairs get NEG_INF): fewer, bigger serial
+    units. The block-diagonal bias is assembled in VMEM per (slice, head)
+    from compact (P, N, N) blocks.
   - The trainable bias gets a real gradient: the diagonal blocks of the
     unscaled dlogits accumulate over the batch grid dim in fp32 scratch
     (batch grid dim is 'arbitrary' = sequential; bias blocks have a
@@ -31,16 +42,15 @@ Design (v2, measured trajectory in docs/PERF.md):
     The caller's bias construction (rel-pos gather + shift-mask add) stays
     in XLA, so d(table) falls out of autodiff.
   - Attention dropout runs INSIDE the kernel from the on-core PRNG, seeded
-    per (slice, batch) with the global slice id: the backward regenerates
-    the identical keep-mask instead of saving it. Residual = (qkv, bias,
-    seed) only; probs and mask never exist in HBM in either pass.
+    per (slice, head, batch): the backward regenerates the identical
+    keep-mask instead of saving it. Residual = (qkv, bias, seed) only;
+    probs and mask never exist in HBM in either pass.
   - Self-attention per slice => dq/dk/dv are written directly by each grid
-    step into one packed dqkv output; no cross-step accumulation.
+    step into one packed (T, 3C) dqkv row; no cross-step accumulation.
 
 Numerics: fp32 logits (scale applied to fp32 logits, then + fp32 bias), fp32
 softmax, bf16 probs into the pv matmul; dropout masks the bf16 probs and
-scales by 1/keep. d <= 128 is lane-padded (d=32: 4x on the q/o tiles — noise
-next to the probs traffic this deletes).
+scales by 1/keep.
 """
 from __future__ import annotations
 
@@ -54,10 +64,10 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from rgbx_semantic_segmentation_tpu.ops.sr_attention import (
-    NEG_INF, _g_block)
+from rgbx_semantic_segmentation_tpu.ops.sr_attention import NEG_INF
 
-# Rows (gb * T) per grid step; env-overridable for tuning runs.
+# Per-grid-step work target in (head x token) rows; env-overridable for
+# tuning runs. One grid step processes gs slices x h heads x T tokens.
 _FWD_TARGET = int(os.environ.get("RGBX_WIN_FWD_TARGET", "2560"))
 _BWD_TARGET = int(os.environ.get("RGBX_WIN_BWD_TARGET", "1280"))
 
@@ -123,19 +133,29 @@ def mesh_plan(batch: int):
     return None
 
 
+def _s_block(s: int, t: int, h: int, target: int) -> int:
+    """Slices gs per grid step so that gs*h*t ~ target head-token rows:
+    amortises the fixed per-grid-step cost where slices are small. Must
+    divide s."""
+    gs = min(s, max(1, target // max(1, h * t)))
+    while s % gs:
+        gs -= 1
+    return gs
+
+
 def _thr(rate: float) -> np.uint32:
     return np.uint32(min(int(rate * 2 ** 32), 2 ** 32 - 1))
 
 
-def _block_diag_bias(b_ref, gi, P, N):
+def _block_diag_bias(b_ref, gi, hi, P, N):
     """Assemble the (T, T) block-diagonal bias in VMEM from P (N, N) blocks;
     off-diagonal positions get NEG_INF (zero attention after softmax)."""
     T = P * N
     if P == 1:
-        return b_ref[gi, 0]
+        return b_ref[gi, hi, 0]
     rows = []
     for p in range(P):
-        rows.append(jnp.pad(b_ref[gi, p],
+        rows.append(jnp.pad(b_ref[gi, hi, p],
                             ((0, 0), (p * N, T - (p + 1) * N)),
                             constant_values=NEG_INF))
     return jnp.concatenate(rows, axis=0)
@@ -150,75 +170,92 @@ def _probs_f32(q, k, bias, scale):
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
-def _keep_mask(seed_ref, g0, g1, gi, gb, nb, shape, rate):
-    pltpu.prng_seed(seed_ref[0], (g0 * gb + gi) * nb + g1)
+def _keep_mask(seed_ref, sid, g1, nb, shape, rate):
+    pltpu.prng_seed(seed_ref[0], sid * nb + g1)
     bits = pltpu.prng_random_bits(shape)
     return bits.astype(jnp.uint32) >= _thr(rate)
 
 
-def _fwd_kernel(seed_ref, qkv_ref, b_ref, o_ref, *, scale, gb, nb, P, N,
-                rate):
+def _fwd_kernel(seed_ref, qkv_ref, b_ref, o_ref, *, scale, gs, nb, h, d, P,
+                N, rate):
     g0 = pl.program_id(0)
     g1 = pl.program_id(1)
-    for gi in range(gb):
-        q = qkv_ref[gi, 0, 0]
-        bias = _block_diag_bias(b_ref, gi, P, N)
-        pf = _probs_f32(q, qkv_ref[gi, 1, 0], bias, scale)
-        p = pf.astype(q.dtype)
-        if rate > 0.0:
-            keep = _keep_mask(seed_ref, g0, g1, gi, gb, nb, pf.shape, rate)
-            p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0).astype(q.dtype)
-        o_ref[gi, 0] = lax.dot_general(
-            p, qkv_ref[gi, 2, 0], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    C = h * d
+    for gi in range(gs):
+        x = qkv_ref[gi, 0]                       # (T, 3C), (3, h, d) order
+        outs = []
+        for hi in range(h):
+            q = x[:, hi * d:(hi + 1) * d]
+            k = x[:, C + hi * d:C + (hi + 1) * d]
+            v = x[:, 2 * C + hi * d:2 * C + (hi + 1) * d]
+            bias = _block_diag_bias(b_ref, gi, hi, P, N)
+            pf = _probs_f32(q, k, bias, scale)
+            p = pf.astype(x.dtype)
+            if rate > 0.0:
+                sid = (g0 * gs + gi) * h + hi
+                keep = _keep_mask(seed_ref, sid, g1, nb, pf.shape, rate)
+                p = jnp.where(keep, p * (1.0 / (1.0 - rate)),
+                              0.0).astype(x.dtype)
+            outs.append(lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        o_ref[gi, 0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, qkv_ref, b_ref, g_ref, dqkv_ref, db_ref, db_acc, *,
-                scale, gb, nb, P, N, rate):
+                scale, gs, nb, h, d, P, N, rate):
     g0 = pl.program_id(0)
     g1 = pl.program_id(1)
+    C = h * d
 
     @pl.when(g1 == 0)
     def _():
         db_acc[:] = jnp.zeros_like(db_acc)
 
-    for gi in range(gb):
-        q = qkv_ref[gi, 0, 0]
-        k = qkv_ref[gi, 1, 0]
-        v = qkv_ref[gi, 2, 0]
-        g = g_ref[gi, 0]
-        bias = _block_diag_bias(b_ref, gi, P, N)
-        pf = _probs_f32(q, k, bias, scale)
-        p = pf.astype(q.dtype)
-        if rate > 0.0:
-            inv = 1.0 / (1.0 - rate)
-            keep = _keep_mask(seed_ref, g0, g1, gi, gb, nb, pf.shape, rate)
-            pd = jnp.where(keep, p * inv, 0.0).astype(q.dtype)
-        else:
-            pd = p
-        # dv = Drop(p)^T @ g
-        dqkv_ref[gi, 2, 0] = lax.dot_general(
-            pd, g, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dqkv_ref.dtype)
-        # d(Drop(p)) = g @ v^T; chain through dropout, then softmax.
-        dp = lax.dot_general(g, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-        if rate > 0.0:
-            dp = jnp.where(keep, dp * inv, 0.0)
-        dl = (dp - jnp.sum(dp * pf, axis=-1, keepdims=True)) * pf  # unscaled
-        if P == 1:
-            db_acc[gi, 0] += dl
-        else:
-            for p_i in range(P):
-                db_acc[gi, p_i] += dl[p_i * N:(p_i + 1) * N,
-                                      p_i * N:(p_i + 1) * N]
-        dlf = (dl * scale).astype(q.dtype)
-        dqkv_ref[gi, 0, 0] = lax.dot_general(
-            dlf, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dqkv_ref.dtype)
-        dqkv_ref[gi, 1, 0] = lax.dot_general(
-            dlf, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dqkv_ref.dtype)
+    for gi in range(gs):
+        x = qkv_ref[gi, 0]
+        gout = g_ref[gi, 0]                      # (T, C)
+        dqs, dks, dvs = [], [], []
+        for hi in range(h):
+            q = x[:, hi * d:(hi + 1) * d]
+            k = x[:, C + hi * d:C + (hi + 1) * d]
+            v = x[:, 2 * C + hi * d:2 * C + (hi + 1) * d]
+            gh = gout[:, hi * d:(hi + 1) * d]
+            bias = _block_diag_bias(b_ref, gi, hi, P, N)
+            pf = _probs_f32(q, k, bias, scale)
+            p = pf.astype(x.dtype)
+            if rate > 0.0:
+                inv = 1.0 / (1.0 - rate)
+                sid = (g0 * gs + gi) * h + hi
+                keep = _keep_mask(seed_ref, sid, g1, nb, pf.shape, rate)
+                pd = jnp.where(keep, p * inv, 0.0).astype(x.dtype)
+            else:
+                pd = p
+            # dv = Drop(p)^T @ g
+            dvs.append(lax.dot_general(
+                pd, gh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            # d(Drop(p)) = g @ v^T; chain through dropout, then softmax.
+            dp = lax.dot_general(gh, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+            if rate > 0.0:
+                dp = jnp.where(keep, dp * inv, 0.0)
+            dl = (dp - jnp.sum(dp * pf, axis=-1, keepdims=True)) * pf
+            if P == 1:
+                db_acc[gi, hi, 0] += dl
+            else:
+                for p_i in range(P):
+                    db_acc[gi, hi, p_i] += dl[p_i * N:(p_i + 1) * N,
+                                              p_i * N:(p_i + 1) * N]
+            dlf = (dl * scale).astype(x.dtype)
+            dqs.append(lax.dot_general(
+                dlf, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            dks.append(lax.dot_general(
+                dlf, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        dqkv_ref[gi, 0] = jnp.concatenate(
+            dqs + dks + dvs, axis=-1).astype(dqkv_ref.dtype)
 
     @pl.when(g1 == nb - 1)
     def _():
@@ -227,25 +264,28 @@ def _bwd_kernel(seed_ref, qkv_ref, b_ref, g_ref, dqkv_ref, db_ref, db_acc, *,
 
 @functools.partial(jax.jit, static_argnames=("scale", "rate", "interpret"))
 def _wfwd_call(qkv, bias, seed, scale, rate, interpret=False):
-    G, _, B, T, d = qkv.shape
-    P, N = bias.shape[1], bias.shape[2]
-    gb = _g_block(G, T, target=_FWD_TARGET)
-    kern = functools.partial(_fwd_kernel, scale=scale, gb=gb, nb=B, P=P, N=N,
-                             rate=rate)
+    S, B, T, C3 = qkv.shape
+    h, P, N = bias.shape[1], bias.shape[2], bias.shape[3]
+    C = C3 // 3
+    d = C // h
+    gs = _s_block(S, T, h, _FWD_TARGET)
+    kern = functools.partial(_fwd_kernel, scale=scale, gs=gs, nb=B, h=h, d=d,
+                             P=P, N=N, rate=rate)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(G // gb, B),
+        grid=(S // gs, B),
         in_specs=[
-            pl.BlockSpec((gb, 3, 1, T, d), lambda g0, g1, s: (g0, 0, g1, 0, 0)),
-            pl.BlockSpec((gb, P, N, N), lambda g0, g1, s: (g0, 0, 0, 0)),
+            pl.BlockSpec((gs, 1, T, C3), lambda g0, g1, s: (g0, g1, 0, 0)),
+            pl.BlockSpec((gs, h, P, N, N),
+                         lambda g0, g1, s: (g0, 0, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((gb, 1, T, d),
+        out_specs=pl.BlockSpec((gs, 1, T, C),
                                lambda g0, g1, s: (g0, g1, 0, 0)),
     )
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((G, B, T, d), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((S, B, T, C), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
@@ -254,31 +294,35 @@ def _wfwd_call(qkv, bias, seed, scale, rate, interpret=False):
 
 @functools.partial(jax.jit, static_argnames=("scale", "rate", "interpret"))
 def _wbwd_call(qkv, bias, seed, g, scale, rate, interpret=False):
-    G, _, B, T, d = qkv.shape
-    P, N = bias.shape[1], bias.shape[2]
-    gb = _g_block(G, T, target=_BWD_TARGET)
-    kern = functools.partial(_bwd_kernel, scale=scale, gb=gb, nb=B, P=P, N=N,
-                             rate=rate)
+    S, B, T, C3 = qkv.shape
+    h, P, N = bias.shape[1], bias.shape[2], bias.shape[3]
+    C = C3 // 3
+    d = C // h
+    gs = _s_block(S, T, h, _BWD_TARGET)
+    kern = functools.partial(_bwd_kernel, scale=scale, gs=gs, nb=B, h=h, d=d,
+                             P=P, N=N, rate=rate)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(G // gb, B),
+        grid=(S // gs, B),
         in_specs=[
-            pl.BlockSpec((gb, 3, 1, T, d), lambda g0, g1, s: (g0, 0, g1, 0, 0)),
-            pl.BlockSpec((gb, P, N, N), lambda g0, g1, s: (g0, 0, 0, 0)),
-            pl.BlockSpec((gb, 1, T, d), lambda g0, g1, s: (g0, g1, 0, 0)),
+            pl.BlockSpec((gs, 1, T, C3), lambda g0, g1, s: (g0, g1, 0, 0)),
+            pl.BlockSpec((gs, h, P, N, N),
+                         lambda g0, g1, s: (g0, 0, 0, 0, 0)),
+            pl.BlockSpec((gs, 1, T, C), lambda g0, g1, s: (g0, g1, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((gb, 3, 1, T, d), lambda g0, g1, s: (g0, 0, g1, 0, 0)),
-            pl.BlockSpec((gb, P, N, N), lambda g0, g1, s: (g0, 0, 0, 0)),
+            pl.BlockSpec((gs, 1, T, C3), lambda g0, g1, s: (g0, g1, 0, 0)),
+            pl.BlockSpec((gs, h, P, N, N),
+                         lambda g0, g1, s: (g0, 0, 0, 0, 0)),
         ],
-        scratch_shapes=[pltpu.VMEM((gb, P, N, N), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((gs, h, P, N, N), jnp.float32)],
     )
     dqkv, db = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((G, 3, B, T, d), qkv.dtype),
-            jax.ShapeDtypeStruct((G, P, N, N), jnp.float32),
+            jax.ShapeDtypeStruct((S, B, T, C3), qkv.dtype),
+            jax.ShapeDtypeStruct((S, h, P, N, N), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
@@ -291,13 +335,15 @@ def _wbwd_call(qkv, bias, seed, g, scale, rate, interpret=False):
 def window_attention(qkv, bias, seed, scale, rate, interpret=False):
     """Fused packed windowed self-attention with additive bias and dropout.
 
-    qkv: (G, 3, B, T, d) with G = (nW/P)*h slice-major, batch inner,
-    T = P*N tokens (P windows packed block-diagonally).
-    bias: (G, P, N, N) fp32 — per-window combined rel-pos (+ shift-mask)
-    bias; off-diagonal window pairs are masked in-kernel.
+    qkv: (S, B, T, 3C) with S = nW/P slices, T = P*N tokens (P windows
+    packed block-diagonally), 3C channels in the dense layer's native
+    (3, h, d) column order — heads are split in-kernel.
+    bias: (S, h, P, N, N) fp32 — per-(window, head) combined rel-pos
+    (+ shift-mask) bias; off-diagonal window pairs are masked in-kernel.
     seed: (1,) int32 — dropout stream seed (ignored when rate == 0).
-    Returns (G, B, T, d); differentiable in qkv/bias (custom VJP, probs
-    recomputed in VMEM, dropout mask regenerated from the seed).
+    Returns (S, B, T, C) with (h, d) channel order (= concat-heads, the
+    proj layer's input order); differentiable in qkv/bias (custom VJP,
+    probs recomputed in VMEM, dropout mask regenerated from the seed).
     """
     return _wfwd_call(qkv, bias, seed, scale, rate, interpret)
 
@@ -322,12 +368,12 @@ window_attention.defvjp(_fwd_rule, _bwd_rule)
 # Mesh (GSPMD) integration: pallas_call has no SPMD partitioning rule, so
 # under a device mesh the kernel is explicitly shard_mapped (mirrors
 # sr_attention_sharded). Window attention is purely window-local, so the
-# natural layout shards the batch dim (dim 2 of the packed qkv — batch is
-# INNER in kernel layout) on the data axis with slices/bias replicated:
-# fwd and dqkv need no collectives at all; only the trainable-bias grad is
-# a sum over the batch -> one psum over the data axis in the backward. The
-# in-kernel dropout stream folds only the LOCAL batch index, so the seed is
-# offset per shard to decorrelate the streams.
+# natural layout shards the batch dim (dim 1 of the packed qkv) on the data
+# axis with slices/bias replicated: fwd and dqkv need no collectives at all;
+# only the trainable-bias grad is a sum over the batch -> one psum over the
+# data axis in the backward. The in-kernel dropout stream folds only the
+# LOCAL batch index, so the seed is offset per shard to decorrelate the
+# streams.
 # ---------------------------------------------------------------------------
 
 
@@ -335,10 +381,10 @@ def _wa_make_sharded(mesh, data_axis, scale, rate, interpret):
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
-    qs = P(None, None, data_axis, None, None)   # (G, 3, B, T, d)
-    bs = P(None, None, None, None)              # bias replicated
+    qs = P(None, data_axis, None, None)         # (S, B, T, 3C)
+    bs = P(None, None, None, None, None)        # bias replicated
     ss = P(None)                                # seed replicated
-    outs = P(None, data_axis, None, None)       # (G, B, T, d)
+    outs = P(None, data_axis, None, None)       # (S, B, T, C)
 
     def _local_seed(seed):
         if rate > 0.0 and data_axis is not None:
@@ -382,8 +428,8 @@ def _wa_make_sharded(mesh, data_axis, scale, rate, interpret):
 def window_attention_sharded(qkv, bias, seed, scale, rate, mesh,
                              data_axis, interpret: bool = False):
     """`window_attention` under an active device mesh via shard_map: batch
-    (dim 2 of qkv, inner in kernel layout) sharded on `data_axis`,
-    slices/bias/seed replicated, bias grad psum'd over the data axis. The
-    caller guarantees divisibility (mesh_plan's batch gate)."""
+    (dim 1 of qkv) sharded on `data_axis`, slices/bias/seed replicated, bias
+    grad psum'd over the data axis. The caller guarantees divisibility
+    (mesh_plan's batch gate)."""
     return _wa_make_sharded(mesh, data_axis, scale, rate, interpret)(
         qkv, bias, seed)

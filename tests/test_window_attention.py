@@ -1,8 +1,10 @@
-"""Window-attention kernel (ops/window_attention.py) vs the XLA composition.
+"""Window-attention kernel (ops/window_attention.py, v3) vs the XLA
+composition.
 
 Interpret mode on CPU: same kernel program as the TPU path. Shapes mirror
-swin stages scaled down (G = (nW/P)*h slices, B batch, T = P*N packed tokens,
-d head dim)."""
+swin stages scaled down: qkv (S, B, T, 3C) with S = nW/P slices, T = P*N
+packed tokens, 3C channels in (3, h, d) column order (heads split
+in-kernel); bias (S, h, P, N, N)."""
 import os
 
 import numpy as np
@@ -15,36 +17,42 @@ import jax.numpy as jnp
 
 from rgbx_semantic_segmentation_tpu.ops import window_attention as WA
 
-G, B, P, N, D = 6, 2, 3, 49, 32
+S, B, H, P, N, D = 2, 2, 3, 3, 49, 32
 T = P * N
+C = H * D
 SCALE = D ** -0.5
 
 
-def _inputs(seed=0, g=G, b=B, p=P, dtype=jnp.float32):
+def _inputs(seed=0, s=S, b=B, h=H, p=P, dtype=jnp.float32):
     rng = np.random.RandomState(seed)
-    qkv = jnp.asarray(rng.randn(g, 3, b, p * N, D), dtype)
+    qkv = jnp.asarray(rng.randn(s, b, p * N, 3 * h * D), dtype)
     # rel-pos-like bias plus a -100 block on some slices (shifted-window
     # mask structure).
-    bias = rng.randn(g, p, N, N).astype(np.float32)
-    bias[g // 2:, :, :, N // 2:] += -100.0
+    bias = rng.randn(s, h, p, N, N).astype(np.float32)
+    bias[s // 2:, :, :, :, N // 2:] += -100.0
     return qkv, jnp.asarray(bias)
 
 
 def _xla_ref(qkv, bias, scale):
-    """Block-diagonal reference: P windows per slice, off-diag = NEG_INF."""
-    g, _, b, t, d = qkv.shape
-    p, n = bias.shape[1], bias.shape[2]
-    q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
-    big = jnp.full((g, t, t), WA.NEG_INF, jnp.float32)
+    """Block-diagonal reference: P windows per slice, off-diag = NEG_INF;
+    heads sliced off the (3, h, d)-ordered channel dim."""
+    s, b, t, c3 = qkv.shape
+    h, p, n = bias.shape[1], bias.shape[2], bias.shape[3]
+    c = c3 // 3
+    d = c // h
+    x = qkv.reshape(s, b, t, 3, h, d)
+    q, k, v = x[..., 0, :, :], x[..., 1, :, :], x[..., 2, :, :]  # (s,b,t,h,d)
+    big = jnp.full((s, h, t, t), WA.NEG_INF, jnp.float32)
     for pi in range(p):
-        big = big.at[:, pi * n:(pi + 1) * n, pi * n:(pi + 1) * n].set(
-            bias[:, pi])
-    logits = jnp.einsum("gbnd,gbmd->gbnm", q, k,
+        big = big.at[:, :, pi * n:(pi + 1) * n, pi * n:(pi + 1) * n].set(
+            bias[:, :, pi])
+    logits = jnp.einsum("sbnhd,sbmhd->sbhnm", q, k,
                         preferred_element_type=jnp.float32) * scale
     logits = logits + big[:, None]
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum("gbnm,gbmd->gbnd", probs, v,
-                      preferred_element_type=jnp.float32).astype(v.dtype)
+    out = jnp.einsum("sbhnm,sbmhd->sbnhd", probs, v,
+                     preferred_element_type=jnp.float32).astype(v.dtype)
+    return out.reshape(s, b, t, c)
 
 
 def test_forward_matches_xla():
@@ -57,7 +65,7 @@ def test_forward_matches_xla():
 
 
 def test_forward_unpacked_p1():
-    qkv, bias = _inputs(7, g=10, b=1, p=1)
+    qkv, bias = _inputs(7, s=5, b=1, h=2, p=1)
     seed = jnp.zeros((1,), jnp.int32)
     out = WA.window_attention(qkv, bias, seed, SCALE, 0.0, True)
     ref = _xla_ref(qkv, bias, SCALE)
@@ -144,13 +152,13 @@ def test_swin_block_kernel_dispatch_matches_xla():
     from rgbx_semantic_segmentation_tpu.models.encoders.dual_swin import (
         SwinBlock)
     rng = np.random.RandomState(6)
-    Bb, H, W, C = 2, 10, 13, 24
-    x = jnp.asarray(rng.randn(Bb, H * W, C), jnp.float32)
-    kw = dict(dim=C, num_heads=4, window_size=7, shift_size=3)
+    Bb, Hh, Ww, Cc = 2, 10, 13, 24
+    x = jnp.asarray(rng.randn(Bb, Hh * Ww, Cc), jnp.float32)
+    kw = dict(dim=Cc, num_heads=4, window_size=7, shift_size=3)
     ref_mod = SwinBlock(use_pallas=False, **kw)
-    var = ref_mod.init(jax.random.PRNGKey(0), x, H, W)
-    ref = ref_mod.apply(var, x, H, W)
-    out = SwinBlock(use_pallas=True, **kw).apply(var, x, H, W)
+    var = ref_mod.init(jax.random.PRNGKey(0), x, Hh, Ww)
+    ref = ref_mod.apply(var, x, Hh, Ww)
+    out = SwinBlock(use_pallas=True, **kw).apply(var, x, Hh, Ww)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
                                rtol=1e-5)
 
@@ -214,14 +222,14 @@ def test_swin_block_sharded_dispatch_matches_xla():
     mesh = _data_mesh()
     nd = int(np.prod(list(mesh.shape.values())))
     rng = np.random.RandomState(9)
-    Bb, H, W, C = nd, 10, 13, 24
-    x = jnp.asarray(rng.randn(Bb, H * W, C), jnp.float32)
-    kw = dict(dim=C, num_heads=4, window_size=7, shift_size=3)
+    Bb, Hh, Ww, Cc = nd, 10, 13, 24
+    x = jnp.asarray(rng.randn(Bb, Hh * Ww, Cc), jnp.float32)
+    kw = dict(dim=Cc, num_heads=4, window_size=7, shift_size=3)
     ref_mod = SwinBlock(use_pallas=False, **kw)
-    var = ref_mod.init(jax.random.PRNGKey(0), x, H, W)
-    ref = ref_mod.apply(var, x, H, W)
+    var = ref_mod.init(jax.random.PRNGKey(0), x, Hh, Ww)
+    ref = ref_mod.apply(var, x, Hh, Ww)
     with mesh:
-        out = SwinBlock(use_pallas=True, **kw).apply(var, x, H, W)
+        out = SwinBlock(use_pallas=True, **kw).apply(var, x, Hh, Ww)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
                                rtol=1e-5)
 
@@ -230,12 +238,12 @@ def test_swin_block_kernel_dispatch_unshifted():
     from rgbx_semantic_segmentation_tpu.models.encoders.dual_swin import (
         SwinBlock)
     rng = np.random.RandomState(8)
-    Bb, H, W, C = 1, 21, 14, 16
-    x = jnp.asarray(rng.randn(Bb, H * W, C), jnp.float32)
-    kw = dict(dim=C, num_heads=2, window_size=7, shift_size=0)
+    Bb, Hh, Ww, Cc = 1, 21, 14, 16
+    x = jnp.asarray(rng.randn(Bb, Hh * Ww, Cc), jnp.float32)
+    kw = dict(dim=Cc, num_heads=2, window_size=7, shift_size=0)
     ref_mod = SwinBlock(use_pallas=False, **kw)
-    var = ref_mod.init(jax.random.PRNGKey(0), x, H, W)
-    ref = ref_mod.apply(var, x, H, W)
-    out = SwinBlock(use_pallas=True, **kw).apply(var, x, H, W)
+    var = ref_mod.init(jax.random.PRNGKey(0), x, Hh, Ww)
+    ref = ref_mod.apply(var, x, Hh, Ww)
+    out = SwinBlock(use_pallas=True, **kw).apply(var, x, Hh, Ww)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
                                rtol=1e-5)
