@@ -1,6 +1,14 @@
 """Contract tests for parallel/multihost.py (VERDICT r1 #9): per-host batch
-slice arithmetic and global-array assembly shapes/sharding on the CPU mesh.
+slice arithmetic and global-array assembly shapes/sharding on the CPU mesh,
+plus a REAL 2-process jax.distributed run exercising the n>1
+jax.make_array_from_process_local_data branch end to end.
 Replaces the reference's DistributedSampler split (dataloader.py:153-156)."""
+import json
+import os
+import socket
+import subprocess
+import sys
+
 import numpy as np
 import pytest
 import jax
@@ -49,6 +57,45 @@ def test_make_global_batch_single_host_shapes_and_sharding():
         shard_shape = leaf.sharding.shard_shape(leaf.shape)
         assert shard_shape[0] == leaf.shape[0] // n
     np.testing.assert_array_equal(np.asarray(out["rgb"]), batch["rgb"])
+
+
+@pytest.mark.slow
+def test_two_process_distributed_make_global_batch():
+    """Two REAL processes under jax.distributed.initialize (CPU backend,
+    2 local devices each -> 4 global): each loads only its
+    process_batch_slice, assembles the global array via make_global_batch's
+    n>1 branch, and runs jitted data-parallel train steps whose gradient
+    all-reduce crosses the process boundary — verified bit-exact against a
+    single-process numpy reference inside the child (tests/_multihost_child.py).
+    The reference's equivalent is the DDP process-per-GPU launch
+    (engine/engine.py:56, dataloader.py:153-156), which its own test story
+    never executes either."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    child = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "_multihost_child.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, child, str(port), str(pid)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+        for pid in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=300)
+            assert p.returncode == 0, f"child failed:\n{out}\n{err}"
+            outs.append(json.loads(out.strip().splitlines()[-1]))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    assert {o["pid"] for o in outs} == {0, 1}
+    assert all(o["process_count"] == 2 for o in outs)
+    # Both controllers computed the same global losses.
+    np.testing.assert_allclose(outs[0]["losses"], outs[1]["losses"],
+                               rtol=1e-6)
 
 
 def test_make_global_batch_matches_batch_sharding():
