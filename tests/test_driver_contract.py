@@ -48,4 +48,6 @@ def test_bench_module_importable():
     import bench
 
     assert callable(bench.main)
-    assert bench.A100_EST_IMG_PER_SEC > 0
+    assert bench.A100_CEILING_IMG_PER_SEC > 0
+    assert bench.V5E_BF16_PEAK_FLOPS > 0
+    assert bench.FLOPS_PER_STEP_FALLBACK > 0
