@@ -153,15 +153,17 @@ def test_schedule_values_match_reference_formulas():
 
 
 # ---------------------------------------------------------------------------
-# Full train-step integration, one combo per optimizer (mit_b0 compiles are
-# minutes each on CPU; AdamW is covered throughout test_train_step.py).
+# Full train-step integration, one combo per optimizer (AdamW is covered
+# throughout test_train_step.py). mit_tiny: one block per stage — the full
+# MiT architecture at the smallest compile surface (mit_b0 compiles were
+# minutes each on the 1-core CPU box and pushed this file past 9 min).
 # ---------------------------------------------------------------------------
 
 def full_cfg(optimizer, lr_policy):
     cfg = mfnet_config()
     ds = DatasetConfig(num_classes=4, image_height=32, image_width=32,
                        class_names=tuple("abcd"))
-    model = ModelConfig(backbone="mit_b0", decoder="MLPDecoder",
+    model = ModelConfig(backbone="mit_tiny", decoder="MLPDecoder",
                         decoder_embed_dim=32, use_mixed_precision=False)
     tc = TrainConfig(batch_size=2, nepochs=4, niters_per_epoch=2,
                      warm_up_epoch=0, lr=1e-3, optimizer=optimizer,
