@@ -154,3 +154,48 @@ def test_split_rgbt(tmp_path):
     th = np.asarray(Image.open(out / "Thermal" / "im.png"))
     np.testing.assert_array_equal(rgb, rgbt[..., :3])
     np.testing.assert_array_equal(th, rgbt[..., 3])
+
+
+def test_fetch_mfnet_convert(tmp_path):
+    """fetch_mfnet.convert: ir_seg_dataset-style source (4-ch RGBT images/,
+    labels/, train/val/test splits) -> the RGB/Thermal/Label + train_val.txt
+    layout the mfnet config trains on — then an RGBXDataset actually loads
+    an item from the converted tree."""
+    from rgbx_semantic_segmentation_tpu.tools import fetch_mfnet
+
+    src = tmp_path / "ir_seg_dataset"
+    out = tmp_path / "MFNet"
+    rng = np.random.RandomState(2)
+    names = ["00001D", "00002D", "00003N"]
+    for n in names:
+        _png(str(src / "images" / f"{n}.png"),
+             rng.randint(0, 255, (10, 12, 4), dtype=np.uint8))
+        _png(str(src / "labels" / f"{n}.png"),
+             rng.randint(0, 9, (10, 12), dtype=np.uint8))
+    (src / "train.txt").write_text(names[0] + "\n")
+    (src / "val.txt").write_text(names[1] + "\n")
+    (src / "test.txt").write_text(names[2] + "\n")
+
+    summary = fetch_mfnet.convert(str(src), str(out))
+    assert summary == {"images": 3, "labels": 3, "train_val": 2, "test": 1}
+    assert (out / "train_val.txt").read_text().split() == names[:2]
+    for folder in ("RGB", "Thermal", "Label"):
+        assert sorted(os.listdir(out / folder)) == [f"{n}.png" for n in names]
+    th = np.asarray(Image.open(out / "Thermal" / f"{names[0]}.png"))
+    assert th.ndim == 2  # single-channel, matches x_is_single_channel=True
+
+    from rgbx_semantic_segmentation_tpu.config import mfnet_config
+    from rgbx_semantic_segmentation_tpu.data.dataset import RGBXDataset
+
+    cfg = mfnet_config()
+    ds = RGBXDataset(cfg.dataset, "val", root=str(out))
+    item = ds[0]
+    assert item["rgb"].shape == (10, 12, 3)
+    assert item["label"].shape == (10, 12)
+
+
+def test_fetch_mfnet_rejects_bad_source(tmp_path):
+    from rgbx_semantic_segmentation_tpu.tools import fetch_mfnet
+
+    with pytest.raises(SystemExit):
+        fetch_mfnet.convert(str(tmp_path / "nope"), str(tmp_path / "out"))
