@@ -66,6 +66,38 @@ def test_mesh_sharded_eval_matches(setup):
     assert s1.mean_iou == pytest.approx(s8.mean_iou, abs=1e-6)
 
 
+def test_mesh_sharded_sliding_grid_matches(setup):
+    """The SLIDING grid (image > crop in both dims) sharded over the 8-device
+    mesh == unsharded — exercises the `self._shard(...)` call on the stacked
+    window batch (evaluator._batched_windows_forward), which whole-image
+    eval tests never reach. Geometry picked so the window count divides the
+    data axis: crop (16,24), stride 2/3 -> strides (11,16); image (44,40) ->
+    grid 4x2 = 8 windows."""
+    from rgbx_semantic_segmentation_tpu.evaluator import _window_grid
+    from rgbx_semantic_segmentation_tpu.parallel.mesh import make_mesh
+
+    cfg, state, variables = setup
+    cfg_slide = cfg.replace(eval=EvalConfig(eval_scale_array=(1.0,),
+                                            eval_flip=False,
+                                            eval_crop_size=(16, 24)))
+    assert len(_window_grid(44, 40, (16, 24), 2.0 / 3.0)) == 8
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(44, 40, 3)).astype(np.uint8)
+    mx = rng.randint(0, 256, size=(44, 40, 3)).astype(np.uint8)
+    ev1 = SegEvaluator(cfg_slide, state.apply_fn)
+    ev8 = SegEvaluator(cfg_slide, state.apply_fn, mesh=make_mesh())
+    np.testing.assert_array_equal(ev1.sliding_eval_rgbx(variables, img, mx),
+                                  ev8.sliding_eval_rgbx(variables, img, mx))
+    # Same for the compat stride-swap grid (4x2 rects at this geometry) —
+    # its window batch goes through the same _shard call (evaluator.py
+    # _windows_forward_stride_swap).
+    ev1s = SegEvaluator(cfg_slide, state.apply_fn, compat_stride_swap=True)
+    ev8s = SegEvaluator(cfg_slide, state.apply_fn, compat_stride_swap=True,
+                        mesh=make_mesh())
+    np.testing.assert_array_equal(ev1s.sliding_eval_rgbx(variables, img, mx),
+                                  ev8s.sliding_eval_rgbx(variables, img, mx))
+
+
 def test_verbose_logs_running_metric(setup):
     """eval -v parity (reference eval.py:89, evaluator.py:138-143): a running
     metric line per image, without changing the final scores."""
