@@ -67,6 +67,14 @@ class ModelConfig:
     fl_alpha: float = 0.25
     # Stochastic depth (per-backbone defaults live in the encoder factories).
     drop_path_rate: float = 0.1
+    # Swin-only knobs (reference dual_swin.py:462-483; defaults off in every
+    # reference config). `ape`: learnable absolute position embedding added
+    # after patch embed (bicubic-resized to the token grid). `frozen_stages`:
+    # freeze the first N stages — stop_gradient in the forward + masked
+    # optimizer updates (reference sets requires_grad=False + eval mode).
+    # The reference's use_checkpoint maps to the shared `remat` knob below.
+    swin_ape: bool = False
+    swin_frozen_stages: int = -1
     # TPU-specific: tanh-approximate GELU in the MiT Mix-FFN. The reference's
     # torch nn.GELU is erf-exact, but erf is VPU-expensive on v5e — the tanh
     # form is 12% faster end-to-end (117.6 -> 104.9 ms, b8 480x640) and

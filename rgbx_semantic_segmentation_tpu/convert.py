@@ -58,6 +58,10 @@ def _convert_leaf(name: str, value: np.ndarray):
         raise ValueError(f"unhandled weight ndim {value.ndim}")
     if name == "bias":
         return "params", "bias", value
+    if name.startswith("absolute_pos_embed") and value.ndim == 4:
+        # Swin APE: torch stores (1, C, h, w) (dual_swin.py:509-513); this
+        # framework is NHWC throughout -> (1, h, w, C).
+        return "params", name, value.transpose(0, 2, 3, 1)
     # bare nn.Parameter leaves (e.g. IFRM lambda_channel, net_utils.py:162-163)
     return "params", name, value
 
@@ -118,7 +122,13 @@ def duplicate_dual_path_swin(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
     under the _d tower."""
     out: Dict[str, Any] = {}
     for k, v in state_dict.items():
-        if "downsample" in k and "layer" in k:
+        if k.startswith("absolute_pos_embed"):
+            # QUIRK FIXED: the reference duplicator has no catch-all branch, so
+            # a pretrained APE is silently DROPPED (stays at random init even
+            # with ape=True); here it loads into both towers.
+            out[k] = v
+            out["absolute_pos_embed_d"] = v
+        elif "downsample" in k and "layer" in k:
             name = k.replace("downsample.", "").replace("layers", "downsamples")
             out[name] = v
             out[name.replace("downsamples", "downsamples_d")] = v
@@ -221,6 +231,16 @@ _DUPLICATORS = {
     "resnet": duplicate_dual_path_resnet,
     "segnext": duplicate_dual_path_segnext,
 }
+
+
+def family_for_backbone(backbone: str) -> str:
+    """Map a backbone registry name to its pretrained-checkpoint family
+    (which duplicator understands the single-tower key space). Used by
+    train_cli's --pretrained dispatch."""
+    for family in ("swin", "resnet", "segnext"):
+        if backbone.startswith(family):
+            return family
+    return "mit"
 
 
 def missing_leaves(init_vars: FlaxVariables, loaded: FlaxVariables):

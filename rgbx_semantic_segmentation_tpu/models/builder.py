@@ -110,6 +110,9 @@ def build_backbone(cfg: Config, dtype=None) -> Tuple[nn.Module, Sequence[int]]:
         kw["gelu_approximate"] = cfg.model.gelu_approximate
     if name.startswith("swin"):
         kw["use_pallas"] = cfg.model.use_pallas_kernels
+        kw["remat"] = cfg.model.remat
+        kw["ape"] = cfg.model.swin_ape
+        kw["frozen_stages"] = cfg.model.swin_frozen_stages
     kw.update(overrides)
     module = factory(dtype=dtype, name="backbone", **kw)
     return module, channels

@@ -285,8 +285,12 @@ class BasicLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, H: int, W: int, train: bool = False):
+        # remat maps the reference's use_checkpoint (dual_swin.py:385-386):
+        # per-block jax.checkpoint recomputes activations on the backward.
+        block_cls = (nn.remat(SwinBlock, static_argnums=(2, 3, 4))
+                     if self.remat else SwinBlock)
         for i in range(self.depth):
-            blk = SwinBlock(
+            blk = block_cls(
                 dim=self.dim, num_heads=self.num_heads,
                 window_size=self.window_size,
                 shift_size=0 if i % 2 == 0 else self.window_size // 2,
@@ -372,6 +376,7 @@ class DualSwinTransformer(nn.Module):
     patch_norm: bool = True
     out_indices: Sequence[int] = (0, 1, 2, 3)
     frozen_stages: int = -1
+    remat: bool = False
     frm: str = "FRM"
     ffm: str = "FFM"
     bn_momentum: float = 0.1
@@ -388,39 +393,68 @@ class DualSwinTransformer(nn.Module):
         frm_cls = fusion.get_frm(self.frm)
         ffm_cls = fusion.get_ffm(self.ffm)
 
+        fs = self.frozen_stages
         x, Wh, Ww = PatchEmbed(self.patch_size, self.embed_dim,
                                self.patch_norm, dtype=self.dtype,
                                name="patch_embed")(x_rgb)
         x_d, _, _ = PatchEmbed(self.patch_size, self.embed_dim,
                                self.patch_norm, dtype=self.dtype,
                                name="patch_embed_d")(x_e)
+        if fs >= 0:
+            # Freeze semantics (reference _freeze_stages, dual_swin.py:585-600):
+            # stop_gradient here zeroes grads for the frozen prefix; the
+            # optimizer additionally masks its updates (optim.frozen_mask) so
+            # AdamW weight decay cannot move frozen params either. QUIRK FIXED:
+            # the reference freezes only the RGB tower (patch_embed / layers —
+            # upstream single-tower code applied unchanged to the dual tower);
+            # both towers freeze here, documented in PARITY.md.
+            x = jax.lax.stop_gradient(x)
+            x_d = jax.lax.stop_gradient(x_d)
         if self.ape:
             res = self.pretrain_img_size // self.patch_size
             ape = self.param("absolute_pos_embed", L.trunc_normal_init,
                              (1, res, res, self.embed_dim))
             ape_d = self.param("absolute_pos_embed_d", L.trunc_normal_init,
                                (1, res, res, self.embed_dim))
-            from rgbx_semantic_segmentation_tpu.ops.resize import resize_bilinear
-            B = x.shape[0]
-            x = x + resize_bilinear(ape, (Wh, Ww)).reshape(1, Wh * Ww, -1)
-            x_d = x_d + resize_bilinear(ape_d, (Wh, Ww)).reshape(1, Wh * Ww, -1)
-        pos_drop = nn.Dropout(self.drop_rate, deterministic=not train)
+            if fs >= 1:  # reference dual_swin.py:591-592
+                ape = jax.lax.stop_gradient(ape)
+                ape_d = jax.lax.stop_gradient(ape_d)
+            # torch interpolates the stored (pretrain/patch)^2 grid to the
+            # runtime token grid with BICUBIC (reference dual_swin.py:631-635).
+            from rgbx_semantic_segmentation_tpu.ops.resize import (
+                resize_bicubic_torch)
+            x = x + resize_bicubic_torch(ape, (Wh, Ww)).reshape(1, Wh * Ww, -1)
+            x_d = x_d + resize_bicubic_torch(ape_d, (Wh, Ww)).reshape(
+                1, Wh * Ww, -1)
+        # pos_drop runs in eval mode once stages are frozen (reference :594-595).
+        pos_drop = nn.Dropout(self.drop_rate,
+                              deterministic=not train or fs >= 2)
         x = pos_drop(x)
         x_d = pos_drop(x_d)
 
         outs = []
         H, W = Wh, Ww
         for i in range(num_layers):
-            layer_train = train and i >= self.frozen_stages
+            # Stage i is frozen iff fs >= 2 and i < fs - 1 (reference
+            # range(0, frozen_stages - 1), dual_swin.py:594-600): frozen stages
+            # run in eval mode (no dropout/droppath) and their outputs are
+            # gradient-stopped. FRMs/FFMs/downsamples stay trainable, as in
+            # the reference.
+            frozen_layer = fs >= 2 and i < fs - 1
+            layer_train = train and not frozen_layer
             dp = dpr[sum(self.depths[:i]): sum(self.depths[:i + 1])]
             kw = dict(dim=dims[i], depth=self.depths[i],
                       num_heads=self.num_heads[i],
                       window_size=self.window_size, mlp_ratio=self.mlp_ratio,
                       qkv_bias=self.qkv_bias, drop=self.drop_rate,
                       attn_drop=self.attn_drop_rate, drop_path=tuple(dp),
-                      use_pallas=self.use_pallas, dtype=self.dtype)
+                      remat=self.remat, use_pallas=self.use_pallas,
+                      dtype=self.dtype)
             x = BasicLayer(**kw, name=f"layers_{i}")(x, H, W, layer_train)
             x_d = BasicLayer(**kw, name=f"layers_d_{i}")(x_d, H, W, layer_train)
+            if frozen_layer:
+                x = jax.lax.stop_gradient(x)
+                x_d = jax.lax.stop_gradient(x_d)
 
             B = x.shape[0]
             m = x.reshape(B, H, W, dims[i])

@@ -64,6 +64,53 @@ def resize_bilinear_align_corners(x: jnp.ndarray,
     return out.astype(x.dtype)
 
 
+def resize_bicubic_torch(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """Bicubic resize with torch F.interpolate(mode='bicubic',
+    align_corners=False) semantics: cubic convolution kernel with a=-0.75
+    (torch's choice; jax.image.resize uses Keys a=-0.5, which diverges),
+    half-pixel centers, border taps clamped. Used by the Swin absolute
+    position embedding (reference dual_swin.py:631-635).
+
+    Separable implementation: two static (out, in) interpolation matrices
+    contracted over H then W — exact, and far cheaper than gather-based
+    resampling for the small APE grids involved.
+    """
+    import numpy as np
+
+    B, H, W, C = x.shape
+    oh, ow = size
+    if (H, W) == (oh, ow):
+        return x
+
+    def cubic_matrix(in_len: int, out_len: int) -> np.ndarray:
+        a = -0.75
+
+        def kernel(t):
+            t = abs(t)
+            if t <= 1.0:
+                return (a + 2.0) * t ** 3 - (a + 3.0) * t ** 2 + 1.0
+            if t < 2.0:
+                return a * t ** 3 - 5.0 * a * t ** 2 + 8.0 * a * t - 4.0 * a
+            return 0.0
+
+        M = np.zeros((out_len, in_len), np.float64)
+        for i in range(out_len):
+            src = (i + 0.5) * in_len / out_len - 0.5
+            i0 = int(np.floor(src))
+            t = src - i0
+            for tap, wgt in ((i0 - 1, kernel(1.0 + t)), (i0, kernel(t)),
+                             (i0 + 1, kernel(1.0 - t)), (i0 + 2, kernel(2.0 - t))):
+                M[i, min(max(tap, 0), in_len - 1)] += wgt
+        return M.astype(np.float32)
+
+    My = jnp.asarray(cubic_matrix(H, oh))
+    Mx = jnp.asarray(cubic_matrix(W, ow))
+    xf = x.astype(jnp.float32)
+    out = jnp.einsum("oh,bhwc->bowc", My, xf)
+    out = jnp.einsum("ow,bhwc->bhoc", Mx, out)
+    return out.astype(x.dtype)
+
+
 def adaptive_avg_pool(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     """torch AdaptiveAvgPool2d over NHWC: bin i spans
     [floor(i*in/out), ceil((i+1)*in/out)) — static per (in, out) pair.

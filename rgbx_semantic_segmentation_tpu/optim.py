@@ -33,6 +33,32 @@ def weight_decay_mask(params) -> Any:
     return jax.tree_util.tree_map_with_path(is_kernel, params)
 
 
+def frozen_mask(cfg: Config, params) -> Any:
+    """True for leaves the Swin `frozen_stages` knob freezes (reference
+    _freeze_stages, dual_swin.py:585-600): fs>=0 the patch embeds, fs>=1 the
+    absolute position embeddings, fs>=2 stages 0..fs-2 of both towers. The
+    model already stop_gradients these (zero grads); this mask additionally
+    zeroes their optimizer UPDATES, because AdamW weight decay would otherwise
+    still shrink frozen params every step. Returns None when nothing is frozen.
+    """
+    fs = cfg.model.swin_frozen_stages
+    if fs < 0 or not cfg.model.backbone.startswith("swin"):
+        return None
+    frozen_roots = {"patch_embed", "patch_embed_d"}
+    if fs >= 1:
+        frozen_roots |= {"absolute_pos_embed", "absolute_pos_embed_d"}
+    if fs >= 2:
+        for i in range(fs - 1):
+            frozen_roots |= {f"layers_{i}", f"layers_d_{i}"}
+
+    def is_frozen(path, leaf):
+        keys = [p.key if hasattr(p, "key") else str(p) for p in path]
+        return (len(keys) >= 2 and keys[0] == "backbone"
+                and keys[1] in frozen_roots)
+
+    return jax.tree_util.tree_map_with_path(is_frozen, params)
+
+
 def build_optimizer(cfg: Config, params) -> optax.GradientTransformation:
     tc = cfg.train
     mask = weight_decay_mask(params)
@@ -44,13 +70,22 @@ def build_optimizer(cfg: Config, params) -> optax.GradientTransformation:
     def schedule():
         return lr_schedules.build_schedule(tc.lr_policy, tc)
 
+    def finish(tx):
+        """Zero the updates of frozen leaves (Swin frozen_stages) — grads are
+        already zero via stop_gradient; this stops weight decay too."""
+        fmask = frozen_mask(cfg, params)
+        if fmask is not None:
+            tx = optax.chain(tx, optax.masked(optax.set_to_zero(), fmask))
+        return tx
+
     if name == "AdamW":
         # inject_hyperparams makes the *applied* LR readable from opt_state
         # (see applied_lr) — the log reads the source of truth instead of a
         # second, independently-built schedule that could silently diverge.
-        return optax.inject_hyperparams(optax.adamw, static_args=("mask",))(
+        return finish(optax.inject_hyperparams(
+            optax.adamw, static_args=("mask",))(
             learning_rate=schedule(), b1=0.9, b2=0.999, eps=1e-8,
-            weight_decay=tc.weight_decay, mask=mask)
+            weight_decay=tc.weight_decay, mask=mask))
     if name in ("SGDM", "SGD"):
         # reference: SGD(lr, momentum, weight_decay) — decay applied to the same
         # decay group only.
@@ -63,16 +98,16 @@ def build_optimizer(cfg: Config, params) -> optax.GradientTransformation:
             lr_sched, mom_sched = lr_schedules.cyclic_lr(
                 tc.min_lr, tc.lr, tc.cycle_epochs, tc.warm_up_epoch,
                 tc.total_iters, tc.niters_per_epoch)
-            return optax.chain(
+            return finish(optax.chain(
                 optax.add_decayed_weights(tc.weight_decay, mask=mask),
                 optax.inject_hyperparams(optax.sgd)(
                     learning_rate=lr_sched, momentum=mom_sched),
-            )
-        return optax.chain(
+            ))
+        return finish(optax.chain(
             optax.add_decayed_weights(tc.weight_decay, mask=mask),
             optax.inject_hyperparams(optax.sgd)(
                 learning_rate=schedule(), momentum=tc.momentum),
-        )
+        ))
     if name == "LBFGS":
         # Reference train.py:127-135 constructs torch LBFGS(max_iter=20,
         # line_search_fn=None) but then calls optimizer.step() with no closure
@@ -80,7 +115,7 @@ def build_optimizer(cfg: Config, params) -> optax.GradientTransformation:
         # never actually ran. Here it works: optax.lbfgs with the zoom
         # linesearch; the train step passes value/grad/value_fn so the
         # linesearch can re-evaluate the loss (see train.make_train_step).
-        return optax.lbfgs(learning_rate=tc.lr)
+        return finish(optax.lbfgs(learning_rate=tc.lr))
     raise KeyError(f"unknown optimizer {name!r}")
 
 
