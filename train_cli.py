@@ -26,6 +26,10 @@ def main():
     parser.add_argument("--backbone", default=None)
     parser.add_argument("--decoder", default=None)
     parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--niters", type=int, default=None,
+                        help="override niters_per_epoch (short epochs for "
+                             "smoke runs; also rescales the LR schedule "
+                             "horizon, which is epochs x niters)")
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--lr", type=float, default=None)
     parser.add_argument("--pretrained", default=None,
@@ -44,6 +48,10 @@ def main():
     import dataclasses
 
     import jax
+
+    from rgbx_semantic_segmentation_tpu.utils.cache import (
+        enable_persistent_cache)
+    enable_persistent_cache()
 
     from rgbx_semantic_segmentation_tpu import convert, optim, train as train_lib
     from rgbx_semantic_segmentation_tpu.config import get_config
@@ -76,6 +84,8 @@ def main():
     train_kw = {}
     if args.epochs:
         train_kw["nepochs"] = args.epochs
+    if args.niters:
+        train_kw["niters_per_epoch"] = args.niters
     if args.batch_size:
         train_kw["batch_size"] = args.batch_size
     if args.lr:
@@ -93,12 +103,9 @@ def main():
         if cfg.model.pretrained_model:
             variables = {"params": jax.device_get(trainer.state.params),
                          "batch_stats": jax.device_get(trainer.state.batch_stats)}
-            family = ("swin" if cfg.model.backbone.startswith("swin") else
-                      "resnet" if cfg.model.backbone.startswith("resnet") else
-                      "segnext" if cfg.model.backbone.startswith("segnext") else
-                      "mit")
             loaded = convert.load_dualpath_pretrained(
-                cfg.model.pretrained_model, variables, family=family)
+                cfg.model.pretrained_model, variables,
+                family=convert.family_for_backbone(cfg.model.backbone))
             trainer.state = trainer.state.replace(
                 params=mesh_lib.replicate(engine.mesh, loaded["params"]),
                 batch_stats=mesh_lib.replicate(engine.mesh,
