@@ -59,6 +59,10 @@ def main():
 
     import jax
 
+    from rgbx_semantic_segmentation_tpu.utils.cache import (
+        enable_persistent_cache)
+    enable_persistent_cache()
+
     from rgbx_semantic_segmentation_tpu import train as train_lib
     from rgbx_semantic_segmentation_tpu.config import get_config
     from rgbx_semantic_segmentation_tpu.data.loader import ValLoader

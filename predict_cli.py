@@ -57,6 +57,10 @@ def main():
 
     import numpy as np
 
+    from rgbx_semantic_segmentation_tpu.utils.cache import (
+        enable_persistent_cache)
+    enable_persistent_cache()
+
     from rgbx_semantic_segmentation_tpu import train as train_lib
     from rgbx_semantic_segmentation_tpu.checkpoint import resolve_checkpoint_spec
     from rgbx_semantic_segmentation_tpu.config import get_config
