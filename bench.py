@@ -30,6 +30,13 @@ import numpy as np
 # HBM-BW ratio 1935/819 for BW-bound parts and bf16-peak ratio 312/197 for
 # the conv (MXU) part -> ~43 ms/step -> ~186 img/s.
 A100_CEILING_IMG_PER_SEC = 186.0
+# Central estimate of the REFERENCE IMPLEMENTATION (torch 1.8 eager NCHW,
+# AMP, unfused attention) on A100-80GB for this exact step — derived
+# analytically in tools/a100_reference_estimate.py, committed to BASELINE.md
+# "Reference-implementation A100 estimate". CONSTANT (re-run the tool to
+# refresh). v5e lands near per-chip parity (the step is HBM-BW-bound and
+# A100 has 2.36x the bandwidth); the per-dollar ratio is ~3-4x.
+A100_REFERENCE_EST_IMG_PER_SEC = 96.0
 # TPU v5e bf16 peak per chip (Google Cloud TPU v5e docs: 197 TFLOP/s bf16).
 V5E_BF16_PEAK_FLOPS = 197e12
 # Fallback model FLOPs/step (fwd+loss+bwd+AdamW, mit_b2+MLPDecoder, b8
@@ -126,12 +133,18 @@ def main():
         "unit": "img/s/chip",
         # Derived A100 ceiling denominator, see BASELINE.md "A100 denominator".
         "vs_baseline": round(per_chip / A100_CEILING_IMG_PER_SEC, 3),
+        # vs the REFERENCE IMPLEMENTATION on A100 (central analytic estimate,
+        # BASELINE.md "Reference-implementation A100 estimate").
+        "vs_reference_a100_est": round(
+            per_chip / A100_REFERENCE_EST_IMG_PER_SEC, 3),
         "mfu": round(flops / step_s / V5E_BF16_PEAK_FLOPS, 4),
         "model_tflops_per_step": round(flops / 1e12, 3),
         "flops_source": flops_source,
-        # Measured dense-layer fraction of v5e HBM peak (docs/PERF.md:23-66):
-        # the step is activation-bandwidth-bound; this, not MFU, is the
-        # binding utilization.
+        # CONSTANT, not recomputed per run: dense-layer fraction of v5e HBM
+        # peak measured once from the r3/r4 profiler trace
+        # (docs/PERF.md:23-66). The step is activation-bandwidth-bound, so
+        # this, not MFU, is the binding utilization — but it only tracks
+        # changes when the profile is re-taken (tools/profile_step.py).
         "hbm_frac_dense": 0.77,
     }))
 
