@@ -175,6 +175,44 @@ def section_backbones():
                   flush=True)
 
 
+def section_batchcurve():
+    """Train-side img/s vs batch, remat off and on (VERDICT r4 weak-#5): the
+    headline b8 must demonstrably be the argmax over batch. b8/b16 endpoints
+    were measured in r2 (PERF.md); this adds b12 and re-runs the set
+    back-to-back on one quiet box."""
+    import dataclasses
+
+    from rgbx_semantic_segmentation_tpu.config import mfnet_config
+
+    rng = np.random.RandomState(0)
+    base = mfnet_config()
+    remat = base.replace(model=dataclasses.replace(base.model, remat=True))
+    for b in (8, 12, 16):
+        for tag, cfg in (("", base), (" remat", remat)):
+            try:
+                ms = train_step_ms(cfg, b, rng)
+                report(f"train_step b{b}{tag}", ms, f"{b / ms * 1e3:.1f} img/s")
+            except Exception as e:
+                print(f"train_step b{b}{tag} FAILED: {type(e).__name__}",
+                      flush=True)
+
+
+def section_swin():
+    """swin_s flagship-geometry step only — for window-kernel tuning sweeps
+    driven by env vars (RGBX_WIN_PACK_TOKENS / *_TARGET), which are read at
+    module import, hence one process per setting."""
+    import dataclasses
+
+    from rgbx_semantic_segmentation_tpu.config import mfnet_config
+
+    rng = np.random.RandomState(0)
+    cfg = mfnet_config()
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, backbone="swin_s"))
+    pt = os.environ.get("RGBX_WIN_PACK_TOKENS", "256")
+    ms = train_step_ms(cfg, B, rng)
+    report(f"train_step b{B} swin_s pack={pt}", ms, f"{B / ms * 1e3:.1f} img/s")
+
+
 def section_evalbatch():
     """Serving sweep: whole-image eval forward vs batch size (flagship
     config). Finds the throughput-optimal --eval_batch."""
@@ -321,6 +359,10 @@ def main():
         section_backbones()
     elif section == "evalbatch":
         section_evalbatch()
+    elif section == "batchcurve":
+        section_batchcurve()
+    elif section == "swin":
+        section_swin()
     else:
         raise SystemExit(f"unknown section {section}")
     print("JSON " + json.dumps(RESULTS), flush=True)
