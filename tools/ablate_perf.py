@@ -213,6 +213,42 @@ def section_swin():
     report(f"train_step b{B} swin_s pack={pt}", ms, f"{B / ms * 1e3:.1f} img/s")
 
 
+def section_u8():
+    """Train step fed uint8 batches (the PRODUCT path: TrainLoader ships
+    uint8, _prep normalizes on device) vs bench.py's fp32 batches — 4x less
+    H2D and stage-0 HBM read; quantifies whether the headline should be
+    measured on the uint8 variant."""
+    import jax
+
+    from rgbx_semantic_segmentation_tpu import train as train_lib
+    from rgbx_semantic_segmentation_tpu.config import mfnet_config
+
+    rng = np.random.RandomState(0)
+    cfg = mfnet_config()
+    state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    step = train_lib.make_train_step(cfg)
+    u8 = {
+        "rgb": jax.device_put(rng.randint(0, 256, (B, H_IMG, W_IMG, 3)).astype(
+            np.uint8)),
+        "modal_x": jax.device_put(rng.randint(0, 256, (B, H_IMG, W_IMG, 3))
+                                  .astype(np.uint8)),
+        "label": jax.device_put(rng.randint(0, 9, (B, H_IMG, W_IMG)).astype(
+            np.int32)),
+    }
+    s = state
+    for _ in range(3):
+        s, m = step(s, u8)
+    jax.device_get(m["loss"])
+    n = 15
+    t0 = time.perf_counter()
+    for _ in range(n):
+        s, m = step(s, u8)
+    jax.device_get(m["loss"])
+    ms = (time.perf_counter() - t0) / n * 1e3
+    report(f"train_step b{B} uint8-batch (product path)", ms,
+           f"{B / ms * 1e3:.1f} img/s")
+
+
 def section_evalbatch():
     """Serving sweep: whole-image eval forward vs batch size (flagship
     config). Finds the throughput-optimal --eval_batch."""
@@ -361,6 +397,8 @@ def main():
         section_evalbatch()
     elif section == "batchcurve":
         section_batchcurve()
+    elif section == "u8":
+        section_u8()
     elif section == "swin":
         section_swin()
     else:
