@@ -125,3 +125,62 @@ def reference_path():
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     return REFERENCE_ROOT
+
+
+# ---------------------------------------------------------------------------
+# Fast tier: tests measured >= 33 s on the reference 1-core box are marked
+# `slow` here centrally (criterion + numbers: full-suite `--durations=60` run,
+# r5 — 268 tests in 82:18; this list is 38 tests totalling ~69 min of it).
+# Default working tier: `pytest -m "not slow"` (measured ~14 min on 1 core —
+# see pytest.ini / CLAUDE.md). Re-derive the list with
+# `pytest tests/ --durations=0` when the balance drifts.
+# ---------------------------------------------------------------------------
+_SLOW_TESTS = {
+    "test_lbfgs_full_train_step_reduces_loss",
+    "test_synthetic_convergence_miou",
+    "test_trainer_on_2d_mesh_matches_unsharded",
+    "test_tp_train_matches_single_device",
+    "test_mesh_train_matches_single_device",
+    "test_train_step_seed_override_changes_dropout_stream",
+    "test_train_then_eval_cli",
+    "test_2d_sharded_step_matches_unsharded",
+    "test_optimizer_trajectory_golden_vs_torch",
+    "test_tp_state_placement",
+    "test_tp_checkpoint_roundtrip",
+    "test_segnext_towers_untied_with_grads",
+    "test_mask2former_train_then_eval",
+    "test_gradient_parity_vs_torch",
+    "test_uint8_batch_matches_fp32_batch",
+    "test_ifrm_iffm_train_step",
+    "test_predict_cli_label_free",
+    "test_dual_resnet_builder",
+    "test_swin_s_full_scale_golden",
+    "test_train_eval_checkpoint_resume",
+    "test_swin_through_builder_forward",
+    "test_swin_remat_forward_backward_equal",
+    "test_frozen_stages_zero_grads",
+    "test_2d_sharded_step_with_pallas_interpret_matches",
+    "test_batch_stats_are_global_across_shards",
+    "test_batched_multiscale_flip",
+    "test_entry_returns_jittable_forward",
+    "test_sgdm_cyclic_full_train_step",
+    "test_segnext_forward_shapes",
+    "test_mesh_sharded_sliding_grid_matches",
+    "test_eval_cli_torch_checkpoint",
+    "test_batched_matches_per_image",
+    "test_multi_scale_and_flip",
+    "test_encoder_decoder_shapes",
+    "test_dual_swin_tiny_forward",
+    "test_bn_running_stats_golden_vs_torch",
+    "test_swin_block_sharded_dispatch_matches_xla",
+    "test_loss_decreases_over_steps",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    for item in items:
+        name = getattr(item, "originalname", None) or item.name
+        if name in _SLOW_TESTS:
+            item.add_marker(_pytest.mark.slow)
